@@ -1,0 +1,22 @@
+"""Test harness config: run JAX on CPU with 8 virtual devices.
+
+Real-TPU execution is exercised by bench.py / the driver; unit tests
+validate numerics and sharding on the host platform as recommended for
+multi-chip designs without multi-chip hardware.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_DIR = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
