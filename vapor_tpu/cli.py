@@ -1,0 +1,266 @@
+"""Command-line interface: ``vapor-tpu {bed,vcf,ins,svelter}``.
+
+Argument surface matches the reference ``vapor`` script (vapor:287-296):
+``--sv-input --reference --pacbio-input --output-path --output-file
+[--PB-supp]`` plus TPU-framework extensions (``--backend``,
+``--no-figures``, ``--trace``, ``--shard-index/--num-shards`` for
+worklist sharding).
+
+Flow quirks preserved from the reference:
+* VCF mode writes to ``<sv-input>.vapor`` regardless of --output-file
+  and then rewrites that file as an annotated VCF (vapor:385, 466);
+* DEL/INV spans < 50 bp emit NA rows, with the sub-50 INV row labeled
+  DEL (vapor:393-397, 408-412);
+* svelter mode appends without writing a header (vapor:492);
+* ``ins`` (MELT) mode is implemented working — the reference's is broken
+  (undefined ``args.sv_input_prefix``, vapor:310).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+from .config import DEFAULT_CONFIG
+from .io.parsers import (bed_info_readin, melt_records, svelter_readin,
+                         vcf_list_readin)
+from .stats.genotype import organize_result
+from .validators import ValidatorContext
+from .writers.tsv import append_result_row, initiate_output
+from .writers.vcf import annotate_vcf, invert_record_keys
+
+
+def _path_modify(path: str) -> str:
+    return path if path.endswith("/") else path + "/"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="vapor-tpu",
+        description="TPU-native long-read validation of structural "
+                    "variants (VaPoR-compatible)")
+    parser.add_argument("mode", choices=["bed", "vcf", "ins", "svelter"])
+    parser.add_argument("--sv-input", required=True,
+                        help="input file of SV calls (or MELT prefix)")
+    parser.add_argument("--reference", required=True,
+                        help="reference sequences")
+    parser.add_argument("--pacbio-input", required=True,
+                        help="input pacbio sequences in bam format")
+    parser.add_argument("--output-path", required=True,
+                        help="path of output VaPoR figures")
+    parser.add_argument("--output-file", required=False, default="",
+                        help="name of output file")
+    parser.add_argument("--PB-supp", required=False,
+                        help="minimum number of evaluable PacBio reads")
+    parser.add_argument("--backend", default="auto",
+                        choices=["auto", "numpy", "jax"],
+                        help="scoring backend (default: auto)")
+    parser.add_argument("--no-figures", action="store_true",
+                        help="skip per-event recurrence-plot PNGs")
+    parser.add_argument("--trace", action="store_true",
+                        help="per-stage timing to stderr")
+    parser.add_argument("--shard-index", type=int, default=0,
+                        help="worklist shard to process (multi-host)")
+    parser.add_argument("--num-shards", type=int, default=1,
+                        help="total worklist shards (multi-host)")
+    return parser
+
+
+def _sample_name(path: str) -> str:
+    return ".".join(path.split("/")[-1].split(".")[:-1])
+
+
+def _shard(items: List, index: int, total: int) -> List:
+    return [x for i, x in enumerate(items) if i % total == index]
+
+
+def run_bed(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
+    out_path = _path_modify(args.output_path)
+    os.makedirs(out_path, exist_ok=True)
+    out_name = args.output_file
+    sample = _sample_name(args.sv_input)
+    events = _shard(bed_info_readin(args.sv_input),
+                    args.shard_index, args.num_shards)
+    initiate_output(out_name)
+    for x in events:
+        if x[-1] in ("a/", "/a", "/", "DEL"):
+            key = ":".join([str(i) for i in x[:-3]] + ["DEL"])
+            scores = ctx.validate_del(
+                num_reads_cff, x[:-3],
+                out_path + sample + ".DEL." + key.replace(":", "__")
+                + ".png")
+        elif x[-1] in ("a/a^", "a^/a", "a^/a^", "INV"):
+            key = ":".join([str(i) for i in x[:-3]] + ["INV"])
+            scores = ctx.validate_inv(
+                num_reads_cff, x[:-3],
+                out_path + sample + ".INV." + key.replace(":", "__")
+                + ".png")
+        elif x[-1] == "INS":
+            key = ":".join([str(i) for i in x[:-3] + ["INS"]])
+            ins_pos = "_".join(str(i) for i in x[:2])
+            ins_seq = "X" * x[4] if isinstance(x[4], int) else x[4]
+            scores = ctx.validate_ins(
+                num_reads_cff, ins_pos, ins_seq, "+",
+                out_path + sample + ".INS." + key.replace(":", "__")
+                + ".png")
+        elif x[-1] in ("a/aa", "aa/a", "aa/aa", "DUP", "TANDUP"):
+            key = ":".join([str(i) for i in x[:-3]] + ["TANDUP"])
+            scores = ctx.validate_tandup(
+                num_reads_cff, x[:-3],
+                out_path + sample + ".TANDUP." + key.replace(":", "__")
+                + ".png")
+        else:
+            print(x)
+            continue
+        result = organize_result(key, scores)
+        append_result_row(out_name,
+                          result[0].split(":") + [x[3]] + result[1:])
+        print(result)
+
+
+def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
+    out_path = _path_modify(args.output_path)
+    os.makedirs(out_path, exist_ok=True)
+    sample = _sample_name(args.sv_input)
+    vcf_list, rec_hash = vcf_list_readin(args.sv_input)
+    out_name = args.sv_input + ".vapor"
+    initiate_output(out_name)
+
+    def emit(key: str, scores) -> None:
+        append_result_row(out_name, organize_result(key, scores))
+
+    for sv_type in list(vcf_list.keys()):
+        entries = _shard(vcf_list[sv_type], args.shard_index,
+                         args.num_shards)
+        for y in entries:
+            if "NA" in y:
+                continue
+            print(y)
+            if sv_type == "DEL":
+                key = ":".join([str(i) for i in y] + ["DEL"])
+                if y[2] - y[1] < DEFAULT_CONFIG.min_sv_span:
+                    emit(key, [])
+                else:
+                    emit(key, ctx.validate_del(
+                        num_reads_cff, y, out_path + sample + ".DEL."
+                        + key.replace(":", "__") + ".png"))
+            elif sv_type == "INV":
+                if y[2] - y[1] < DEFAULT_CONFIG.min_sv_span:
+                    # reference labels the sub-50 INV NA row DEL
+                    # (vapor:409)
+                    emit(":".join([str(i) for i in y] + ["DEL"]), [])
+                else:
+                    key = ":".join([str(i) for i in y] + ["INV"])
+                    emit(key, ctx.validate_inv(
+                        num_reads_cff, y, out_path + sample + ".INV."
+                        + key.replace(":", "__") + ".png"))
+            elif sv_type == "INS":
+                key = ":".join([str(i) for i in y[:3] + ["INS"]])
+                ins_pos = "_".join(str(i) for i in y[:2])
+                ins_seq = y[-1] if len(y) == 4 and y[-1] else "X" * y[2]
+                emit(key, ctx.validate_ins(
+                    num_reads_cff, ins_pos, ins_seq, "+",
+                    out_path + sample + ".INS."
+                    + key.replace(":", "__") + ".png"))
+            elif sv_type == "DISDUP":
+                key = ":".join([str(i) for i in y] + ["DISDUP"])
+                emit(key, ctx.validate_disdup(
+                    num_reads_cff, y, out_path + sample + ".DISDUP."
+                    + key.replace(":", "__") + ".png"))
+            elif sv_type == "DEL_INV":
+                key = ":".join(["_".join(str(i) for i in blk)
+                                for blk in y] + ["DEL_INV"])
+                emit(key, ctx.validate_del_inv(
+                    num_reads_cff, y, out_path + sample + ".DEL_INV."
+                    + key.replace(":", "__") + ".png"))
+            elif sv_type == "DUP_INV":
+                key = ":".join([str(i) for i in y] + ["DUP_INV"])
+                emit(key, ctx.validate_dup_inv(
+                    num_reads_cff, y, out_path + sample + ".DUP_INV."
+                    + key.replace(":", "__") + ".png"))
+            elif sv_type == "TANDUP":
+                key = ":".join([str(i) for i in y] + ["TANDUP"])
+                emit(key, ctx.validate_tandup(
+                    num_reads_cff, y, out_path + sample + ".TANDUP."
+                    + key.replace(":", "__") + ".png"))
+            elif sv_type == "Other":
+                key = ":".join([str(i) for i in y] + ["CANNOT_CLASSIFY"])
+                emit(key, ctx.validate_complex(
+                    num_reads_cff, y,
+                    out_path + sample + ".CANNOT_CLASSIFY."
+                    + key.replace(":", "__") + ".png"))
+    annotate_vcf(args.sv_input, invert_record_keys(rec_hash))
+
+
+def run_ins(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
+    """MELT prefix mode (semantics from vapor_pdf:43-108 — the reference
+    CLI's ins branch is broken)."""
+    from .io.fasta import FastaFile
+    out_path = _path_modify(args.output_path)
+    os.makedirs(out_path, exist_ok=True)
+    prefix = args.sv_input
+    sample = prefix.split("/")[-1].split(".")[0]
+    seq_fa = FastaFile(prefix + ".fa") if os.path.exists(prefix + ".fa") \
+        else None
+
+    def fetch_entry(name: str) -> str:
+        if seq_fa is None or name not in seq_fa.references:
+            return ""
+        return seq_fa.fetch(name, 1, seq_fa.contig_length(name))
+
+    out_name = prefix + ".vapor"
+    initiate_output(out_name)
+    records = _shard(melt_records(prefix, fetch_entry),
+                     args.shard_index, args.num_shards)
+    for key_event, ins_seq, polarity in records:
+        scores = ctx.validate_ins(
+            num_reads_cff, key_event, ins_seq, polarity,
+            out_path + sample + ".INS."
+            + key_event.replace(":", "__") + ".png")
+        append_result_row(out_name, organize_result(key_event, scores))
+
+
+def run_svelter(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
+    out_path = _path_modify(args.output_path)
+    os.makedirs(out_path, exist_ok=True)
+    sample = _sample_name(args.sv_input)
+    svelter_hash = svelter_readin(args.sv_input)
+    for ref_struct in list(svelter_hash.keys()):
+        for alt_struct in list(svelter_hash[ref_struct].keys()):
+            entries = _shard(svelter_hash[ref_struct][alt_struct],
+                             args.shard_index, args.num_shards)
+            for bps in entries:
+                key_event = "." + "_".join(bps)
+                fig = out_path + sample + \
+                    key_event.replace(":", "__") + ".png"
+                sv_info = [ref_struct, alt_struct] + bps
+                print(sv_info)
+                scores = ctx.validate_complex(num_reads_cff, sv_info, fig)
+                append_result_row(args.output_file,
+                                  organize_result(key_event, scores))
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    num_reads_cff = int(args.PB_supp) if args.PB_supp else \
+        DEFAULT_CONFIG.num_reads_cff
+    ctx = ValidatorContext(args.reference, args.pacbio_input,
+                           backend=args.backend,
+                           figures=not args.no_figures)
+    if args.trace:
+        from .utils.trace import enable_trace
+        enable_trace(ctx)
+    if args.mode == "bed":
+        run_bed(args, ctx, num_reads_cff)
+    elif args.mode == "vcf":
+        run_vcf(args, ctx, num_reads_cff)
+    elif args.mode == "ins":
+        run_ins(args, ctx, num_reads_cff)
+    elif args.mode == "svelter":
+        run_svelter(args, ctx, num_reads_cff)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,42 @@
+"""Scoring backend interface: oracle (numpy) now, TPU batch later.
+
+Validators request scores for a whole read list at once so the device
+backend can batch (read x haplotype) pairs; the numpy backend simply
+loops the oracle scorers.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from . import oracle
+
+
+class NumpyBackend:
+    """Per-read vectorized numpy scoring (host)."""
+
+    name = "numpy"
+
+    def score_batch(self, scorer: str, ref_seq: str, alt_seq: str,
+                    reads: Sequence[Sequence], window: int
+                    ) -> List[List[float]]:
+        fn = oracle.SCORERS[scorer]
+        return [fn(ref_seq, alt_seq, r[0], r[1], window) for r in reads]
+
+
+_DEFAULT_BACKEND = None
+
+
+def get_backend(name: str = "auto"):
+    """Resolve the scoring backend: 'numpy', 'jax', or 'auto'."""
+    global _DEFAULT_BACKEND
+    if name == "numpy":
+        return NumpyBackend()
+    if name in ("jax", "auto"):
+        try:
+            from .kernel import JaxBackend
+            return JaxBackend()
+        except Exception:
+            if name == "jax":
+                raise
+            return NumpyBackend()
+    raise ValueError(f"unknown backend {name!r}")

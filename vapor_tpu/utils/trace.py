@@ -1,0 +1,43 @@
+"""Lightweight per-stage tracing (--trace).
+
+The reference has no observability beyond per-event prints (SURVEY §5);
+this wraps the ValidatorContext primitives with wall-clock accounting and
+prints a summary atexit.  On TPU, combine with ``jax.profiler`` for
+device traces.
+"""
+from __future__ import annotations
+
+import atexit
+import sys
+import time
+from collections import defaultdict
+
+_STATS = defaultdict(lambda: [0, 0.0])
+
+
+def _wrap(obj, name):
+    fn = getattr(obj, name)
+
+    def timed(*a, **kw):
+        t0 = time.perf_counter()
+        try:
+            return fn(*a, **kw)
+        finally:
+            _STATS[name][0] += 1
+            _STATS[name][1] += time.perf_counter() - t0
+
+    setattr(obj, name, timed)
+
+
+def enable_trace(ctx) -> None:
+    for name in ("fetch", "reads", "refine", "_score"):
+        _wrap(ctx, name)
+    atexit.register(_report)
+
+
+def _report() -> None:
+    print("--- vapor-tpu trace ---", file=sys.stderr)
+    for name, (count, total) in sorted(_STATS.items(),
+                                       key=lambda kv: -kv[1][1]):
+        print(f"{name:10s} calls={count:6d} total={total:8.3f}s "
+              f"avg={total / max(count, 1) * 1e3:8.2f}ms", file=sys.stderr)
