@@ -1,0 +1,93 @@
+"""Differential tests: JaxBackend (sheared-coordinate device engine)
+vs the numpy oracle — must agree bit-for-bit on every scorer."""
+import random
+
+import numpy as np
+import pytest
+
+from vapor_tpu.engine import oracle
+from vapor_tpu.engine.kernel import JaxBackend
+from vapor_tpu.io.fasta import reverse_complement
+
+
+@pytest.fixture(scope="module")
+def backend():
+    return JaxBackend()
+
+
+def _mutate(seq, rng, err):
+    out = []
+    for ch in seq:
+        r = rng.random()
+        if r < err / 3:
+            out.append(rng.choice([b for b in "ACGT" if b != ch]))
+        elif r < 2 * err / 3:
+            out.append(rng.choice("ACGT"))
+            out.append(ch)
+        elif r < err:
+            continue
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _scenarios():
+    rng = random.Random(99)
+    cases = []
+    for svtype in ("DEL", "INV", "DUP", "NONE"):
+        for trial in range(2):
+            flank = rng.choice([100, 160])
+            body_len = rng.choice([120, 240])
+            left = "".join(rng.choice("ACGT") for _ in range(flank))
+            body = "".join(rng.choice("ACGT") for _ in range(body_len))
+            right = "".join(rng.choice("ACGT") for _ in range(flank))
+            ref_hap = left + body + right
+            if svtype == "DEL":
+                alt_hap = left + right
+            elif svtype == "INV":
+                alt_hap = left + reverse_complement(body) + right
+            elif svtype == "DUP":
+                alt_hap = left + body * 2 + right
+            else:
+                alt_hap = ref_hap
+            reads = []
+            for i in range(6):
+                donor = alt_hap if i % 2 == 0 else ref_hap
+                miss = rng.choice([0, 0, 17])
+                reads.append([_mutate(donor, rng, 0.08), miss, f"r{i}"])
+            window = rng.choice([10, 15, 20])
+            cases.append((ref_hap, alt_hap, reads, window))
+    # edge flavors: N runs, IUPAC, lowercase soft-masking, short reads
+    base = "".join(random.Random(5).choice("ACGT") for _ in range(350))
+    odd = base[:40] + "NNNNNNRYSW" + base[40:150].lower() + base[150:]
+    reads = [[_mutate(odd, random.Random(6), 0.1), 0, "rA"],
+             ["ACGTACG", 0, "rB"],
+             [_mutate(base, random.Random(7), 0.02), 5, "rC"]]
+    cases.append((odd, odd[:120] + odd[180:], reads, 10))
+    return cases
+
+
+@pytest.mark.parametrize("scorer", ["abs_dis_m1b", "within_10perc_m1b",
+                                    "redefine_diagonal"])
+def test_scorer_parity(backend, scorer):
+    nontrivial = 0
+    for ref_hap, alt_hap, reads, window in _scenarios():
+        expect = [oracle.SCORERS[scorer](ref_hap, alt_hap, r[0], r[1],
+                                         window) for r in reads]
+        got = backend.score_batch(scorer, ref_hap, alt_hap, reads, window)
+        for g, e, r in zip(got, expect, reads):
+            assert [float(x) for x in g] == [float(x) for x in e], (
+                f"{scorer} mismatch read={r[2]} w={window}: {g} != {e}")
+        nontrivial += sum(1 for e in expect if e != [0, 0])
+    assert nontrivial >= 5
+
+
+def test_palindromic_multiplicity(backend):
+    # palindromic k-mers double-store read positions; ensure the device
+    # weight-2 accounting matches the oracle end to end
+    seq = "ACGTACGTAATTCCGGAATTACGT" * 8
+    reads = [[seq, 0, "p"]]
+    for scorer in ("abs_dis_m1b", "within_10perc_m1b"):
+        e = oracle.SCORERS[scorer](seq, seq, seq, 0, 10)
+        g = backend.score_batch(scorer, seq, seq, reads, 10)[0]
+        assert [float(x) for x in g] == [float(x) for x in e]
