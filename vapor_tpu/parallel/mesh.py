@@ -1,0 +1,87 @@
+"""Device-mesh parallelism for event/read scoring.
+
+The reference scales only by per-contig WDL scatter with file-based
+merge (SURVEY §2.5).  The TPU-native equivalents here:
+
+* **data parallelism** over the (event x read) batch: reads sharded
+  across the mesh's ``dp`` axis with `shard_map`; each device runs the
+  sheared-coordinate kernel on its shard;
+* **histogram-space parallelism** over the ``sp`` axis: the per-read
+  histogram/moment buckets are reduce-scattered so each device owns a
+  bucket shard (rides ICI, not DCN);
+* **collective aggregation** replacing the WDL ConcatVaPoR merge: the
+  per-event support counts (GS numerator/denominator) are `psum`-reduced
+  across ``dp`` so every device sees the event totals.
+
+Multi-host: each host shards the worklist by contig (cli --shard-index /
+--num-shards) and only result rows cross DCN.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.kernel import _dot_stats_one, _hist_layout
+
+
+def make_mesh(n_devices: int, dp: int = 0, sp: int = 1) -> Mesh:
+    """2-D mesh (dp, sp) over the first n_devices devices."""
+    devs = np.array(jax.devices()[:n_devices])
+    if dp == 0:
+        sp = 1
+        while (n_devices // sp) * sp != n_devices or sp > n_devices:
+            sp += 1
+        sp = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+        dp = n_devices // sp
+    return Mesh(devs.reshape(dp, sp), ("dp", "sp"))
+
+
+def sharded_event_step(mesh: Mesh, H: int, R: int):
+    """Compile one data-parallel scoring step over `mesh`.
+
+    Returns step(hap, reads, rcs, rlens, ms, k) ->
+      (hist_d shard, scalars, support_psum):
+    reads sharded over dp, histograms reduce-scattered over sp, and the
+    per-batch evaluable-dot totals psum-reduced over dp — exercising
+    real ICI collectives (psum, reduce_scatter) around the kernel.
+    """
+    WH, _, _ = _hist_layout(H, R)
+    n_sp = mesh.shape["sp"]
+    pad = (-WH) % n_sp
+
+    def per_shard(hap, reads, rcs, rlens, ms):
+        dm = jnp.ones((WH,), jnp.bool_)
+        am = jnp.ones((WH,), jnp.bool_)
+
+        def one(args):
+            read, rc, rlen, m = args
+            h_d, h_a, scalars, mom = _dot_stats_one(
+                hap, read, rc, rlen, m, dm, am, jnp.int32(1),
+                jnp.int32(0), jnp.int32(10), H, R)
+            return h_d, scalars
+        h_d, scalars = lax.map(one, (reads, rcs, rlens, ms))
+        # total dots on this dp shard -> global via psum over dp (ICI)
+        n_local = ((scalars[:, 0] << 16) + scalars[:, 1]
+                   + (scalars[:, 2] << 16) + scalars[:, 3]).sum()
+        n_global = lax.psum(n_local, axis_name="dp")
+        # shard histogram buckets across sp (reduce_scatter over ICI)
+        h_pad = jnp.pad(h_d.sum(axis=0), (0, pad))
+        h_shard = lax.psum_scatter(
+            h_pad.reshape(n_sp, -1), axis_name="sp", scatter_dimension=0,
+            tiled=False)
+        return h_shard, scalars, n_global
+
+    from jax.experimental.shard_map import shard_map
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("sp"), P("dp"), P()),
+        check_rep=False)
+    return jax.jit(fn)
