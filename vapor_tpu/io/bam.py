@@ -94,11 +94,30 @@ def _decompress_bgzf(path: str) -> bytes:
 
 
 class BamReader:
-    """Whole-file BAM decoder with region iteration."""
+    """Whole-file BAM decoder with region iteration.
 
-    def __init__(self, path: str):
+    Uses the native C++ codec (vapor_tpu/native) for BGZF inflate and
+    region queries when available; the pure-Python path is the
+    correctness fallback and the differential baseline.
+    """
+
+    def __init__(self, path: str, native: bool = True):
         self.path = path
-        data = _decompress_bgzf(path)
+        self._native = None
+        if native:
+            try:
+                from .. import native as native_mod
+                with open(path, "rb") as fh:
+                    raw = fh.read()
+                data = native_mod.bgzf_decompress(raw)
+                if data is not None:
+                    self._native = native_mod
+            except Exception:
+                data = None
+        else:
+            data = None
+        if data is None:
+            data = _decompress_bgzf(path)
         if data[:4] != BAM_MAGIC:
             raise ValueError(f"{path}: not a BAM file")
         l_text = struct.unpack_from("<i", data, 4)[0]
@@ -134,6 +153,16 @@ class BamReader:
         if rid is None:
             return
         beg0, end0 = int(start1) - 1, int(end1)
+        if self._native is not None:
+            text = self._native.bam_query(
+                self._data, self._records_start, rid, beg0, end0)
+            if text is not None:
+                for line in text.splitlines():
+                    name, flag, pos0, mapq, cigar, seq = line.split("\t")
+                    yield BamRecord(name=name, flag=int(flag), ref_id=rid,
+                                    pos0=int(pos0), mapq=int(mapq),
+                                    cigar=cigar, seq=seq, qual=b"")
+                return
         for rec in self:
             if rec.ref_id != rid:
                 continue
