@@ -158,7 +158,11 @@ def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
             elif sv_type == "INS":
                 key = ":".join([str(i) for i in y[:3] + ["INS"]])
                 ins_pos = "_".join(str(i) for i in y[:2])
-                ins_seq = y[-1] if len(y) == 4 and y[-1] else "X" * y[2]
+                # reference quirk (vapor:425-426): INS worklist entries
+                # always carry 4 fields, so a record without SEQ= gets an
+                # *empty* insert sequence (flank 0 -> NA), never the
+                # X-run fallback
+                ins_seq = y[-1] if len(y) == 4 else "X" * y[2]
                 emit(key, ctx.validate_ins(
                     num_reads_cff, ins_pos, ins_seq, "+",
                     out_path + sample + ".INS."
@@ -180,10 +184,12 @@ def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
                     num_reads_cff, y, out_path + sample + ".DUP_INV."
                     + key.replace(":", "__") + ".png"))
             elif sv_type == "TANDUP":
-                key = ":".join([str(i) for i in y] + ["TANDUP"])
-                emit(key, ctx.validate_tandup(
-                    num_reads_cff, y, out_path + sample + ".TANDUP."
-                    + key.replace(":", "__") + ".png"))
+                # reference quirk: the VCF flow has no TANDUP branch
+                # (vapor:387-465) — DUP/tandup records are parsed into
+                # the worklist but never validated and emit no row.
+                # Use bed mode (or --validate-vcf-tandup in a future
+                # revision) to score duplications.
+                print(sv_type)
             elif sv_type == "Other":
                 key = ":".join([str(i) for i in y] + ["CANNOT_CLASSIFY"])
                 emit(key, ctx.validate_complex(
