@@ -1,0 +1,89 @@
+"""Tests for scatter/merge orchestration, pdf mode, and --resume."""
+import os
+
+from vapor_tpu.cli import main
+from vapor_tpu.orchestrate import merge_outputs, split_by_contig
+from vapor_tpu.sim.synth import build_test_case
+
+
+def _case(tmp_path):
+    return build_test_case(str(tmp_path), genome_len=16000,
+                           sv=("DEL", 7000, 7300), read_len=2200,
+                           n_donor=6, n_ref=6, seed=21)
+
+
+def test_split_and_merge(tmp_path):
+    bed = tmp_path / "w.bed"
+    bed.write_text("chr2\t10\t20\tA\tDEL\nchr10\t5\t9\tB\tDEL\n"
+                   "chr2\t30\t40\tC\tINV\n")
+    shards = split_by_contig(str(bed), str(tmp_path / "sh"))
+    assert set(shards) == {"chr2", "chr10"}
+    assert len(open(shards["chr2"]).readlines()) == 2
+    # merge honors version sort (chr2 < chr10) and numeric positions
+    a = tmp_path / "a.vapor"
+    b = tmp_path / "b.vapor"
+    a.write_text("#H\nchr10\t5\t9\tDEL\tB\t0\t0\t0/0\t1\t0\n")
+    b.write_text("#H\nchr2\t30\t40\tINV\tC\t0\t0\t0/0\t1\t0\n"
+                 "chr2\t10\t20\tDEL\tA\t0\t0\t0/0\t1\t0\n")
+    out = tmp_path / "merged.vapor"
+    merge_outputs([str(a), str(b)], str(out))
+    lines = out.read_text().splitlines()
+    assert lines[0] == "#H"
+    assert [l.split("\t")[0] for l in lines[1:]] == \
+        ["chr2", "chr2", "chr10"]
+    assert [l.split("\t")[1] for l in lines[1:]] == ["10", "30", "5"]
+
+
+def test_scatter_mode(tmp_path):
+    case = _case(tmp_path)
+    bed = tmp_path / "svs.bed"
+    bed.write_text("chrS\t7000\t7300\tSV1\tDEL\n")
+    out = str(tmp_path / "merged.vapor")
+    rc = main(["scatter", "--sv-input", str(bed),
+               "--reference", case["fasta"],
+               "--pacbio-input", case["bam"],
+               "--output-path", str(tmp_path / "work"),
+               "--output-file", out, "--backend", "numpy",
+               "--no-figures", "--jobs", "2"])
+    assert rc == 0
+    lines = open(out).read().splitlines()
+    assert lines[0].startswith("#CHR")
+    assert len(lines) == 2 and "DEL" in lines[1]
+
+
+def test_pdf_mode(tmp_path):
+    case = _case(tmp_path)
+    bed = tmp_path / "svs4.bed"
+    bed.write_text("chrS\t7000\t7300\tDEL\nchrS\t9000\t9050\tINV\n")
+    rc = main(["pdf", "--sv-input", str(bed),
+               "--reference", case["fasta"],
+               "--pacbio-input", case["bam"],
+               "--output-path", str(tmp_path / "figs"),
+               "--backend", "numpy", "--PB-supp", "3",
+               "--sv-type", "DEL"])
+    assert rc == 0
+    out = str(bed) + ".vapor"
+    lines = open(out).read().splitlines()
+    assert len(lines) == 2  # header + the DEL row (INV filtered out)
+    figs = os.listdir(tmp_path / "figs")
+    assert all(f.endswith(".pdf") for f in figs)
+
+
+def test_resume(tmp_path):
+    case = _case(tmp_path)
+    bed = tmp_path / "svs.bed"
+    bed.write_text("chrS\t7000\t7300\tSV1\tDEL\n"
+                   "chrS\t9000\t9200\tSV2\tINV\n")
+    out = str(tmp_path / "o.vapor")
+    common = ["bed", "--sv-input", str(bed), "--reference",
+              case["fasta"], "--pacbio-input", case["bam"],
+              "--output-path", str(tmp_path / "figs"),
+              "--output-file", out, "--backend", "numpy",
+              "--no-figures"]
+    assert main(common) == 0
+    full = open(out).read()
+    # truncate to header + first row, then resume
+    lines = full.splitlines(keepends=True)
+    open(out, "w").writelines(lines[:2])
+    assert main(common + ["--resume"]) == 0
+    assert open(out).read() == full

@@ -40,7 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
         prog="vapor-tpu",
         description="TPU-native long-read validation of structural "
                     "variants (VaPoR-compatible)")
-    parser.add_argument("mode", choices=["bed", "vcf", "ins", "svelter"])
+    parser.add_argument("mode", choices=["bed", "vcf", "ins", "svelter",
+                                         "pdf", "scatter"])
     parser.add_argument("--sv-input", required=True,
                         help="input file of SV calls (or MELT prefix)")
     parser.add_argument("--reference", required=True,
@@ -64,6 +65,21 @@ def build_parser() -> argparse.ArgumentParser:
                         help="worklist shard to process (multi-host)")
     parser.add_argument("--num-shards", type=int, default=1,
                         help="total worklist shards (multi-host)")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip events already present in the output "
+                             "file (preemption-safe restart)")
+    parser.add_argument("--figure-format", default="png",
+                        choices=["png", "pdf"],
+                        help="recurrence-plot format (pdf mode: pdf)")
+    parser.add_argument("--sv-type", default=None,
+                        help="pdf mode: only validate this SV type")
+    parser.add_argument("--size-cff", type=int, default=0,
+                        help="pdf mode: minimum SV span")
+    parser.add_argument("--scatter-mode", default="bed",
+                        choices=["bed", "vcf"],
+                        help="scatter mode: worklist format")
+    parser.add_argument("--jobs", type=int, default=1,
+                        help="scatter mode: concurrent shard processes")
     return parser
 
 
@@ -75,27 +91,71 @@ def _shard(items: List, index: int, total: int) -> List:
     return [x for i, x in enumerate(items) if i % total == index]
 
 
-def run_bed(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
+def _resume_keys(out_name: str):
+    """Keys of events already written (checkpoint/resume support —
+    the reference's append-only output is only accidentally resumable,
+    SURVEY §5; this makes it explicit)."""
+    done = set()
+    if os.path.exists(out_name):
+        with open(out_name) as fin:
+            for line in fin:
+                if line.startswith("#") or not line.strip():
+                    continue
+                cols = line.split("\t")
+                done.add(":".join(cols[:4]) if len(cols) >= 10
+                         else cols[0])
+    return done
+
+
+def run_bed(args, ctx: ValidatorContext, num_reads_cff: int,
+            fig_ext: str = "png", bed4: bool = False) -> None:
     out_path = _path_modify(args.output_path)
     os.makedirs(out_path, exist_ok=True)
     out_name = args.output_file
     sample = _sample_name(args.sv_input)
-    events = _shard(bed_info_readin(args.sv_input),
-                    args.shard_index, args.num_shards)
-    initiate_output(out_name)
+    if bed4:
+        from .io.parsers import bed4_info_readin
+        events = bed4_info_readin(args.sv_input)
+        if args.sv_type:
+            structure_label = {
+                "/a": "DEL", "a/a^": "INV", "a/aa": "TANDUP",
+                "INS": "INS"}
+            events = [x for x in events
+                      if args.sv_type in structure_label.get(
+                          str(x[-1]), str(x[-1]))]
+        if args.size_cff:
+            events = [x for x in events
+                      if not isinstance(x[1], str)
+                      and x[2] - x[1] >= args.size_cff]
+    else:
+        events = bed_info_readin(args.sv_input)
+    events = _shard(events, args.shard_index, args.num_shards)
+    done = _resume_keys(out_name) if args.resume else set()
+    if not (args.resume and os.path.exists(out_name)):
+        initiate_output(out_name)
+    type_label = {"a/": "DEL", "/a": "DEL", "/": "DEL", "DEL": "DEL",
+                  "a/a^": "INV", "a^/a": "INV", "a^/a^": "INV",
+                  "INV": "INV", "INS": "INS", "a/aa": "TANDUP",
+                  "aa/a": "TANDUP", "aa/aa": "TANDUP", "DUP": "TANDUP",
+                  "TANDUP": "TANDUP"}
     for x in events:
+        if done:
+            label = type_label.get(x[-1])
+            pre_key = ":".join(str(i) for i in list(x[:3]) + [label])
+            if label and pre_key in done:
+                continue
         if x[-1] in ("a/", "/a", "/", "DEL"):
             key = ":".join([str(i) for i in x[:-3]] + ["DEL"])
             scores = ctx.validate_del(
                 num_reads_cff, x[:-3],
                 out_path + sample + ".DEL." + key.replace(":", "__")
-                + ".png")
+                + "." + fig_ext)
         elif x[-1] in ("a/a^", "a^/a", "a^/a^", "INV"):
             key = ":".join([str(i) for i in x[:-3]] + ["INV"])
             scores = ctx.validate_inv(
                 num_reads_cff, x[:-3],
                 out_path + sample + ".INV." + key.replace(":", "__")
-                + ".png")
+                + "." + fig_ext)
         elif x[-1] == "INS":
             key = ":".join([str(i) for i in x[:-3] + ["INS"]])
             ins_pos = "_".join(str(i) for i in x[:2])
@@ -103,13 +163,13 @@ def run_bed(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
             scores = ctx.validate_ins(
                 num_reads_cff, ins_pos, ins_seq, "+",
                 out_path + sample + ".INS." + key.replace(":", "__")
-                + ".png")
+                + "." + fig_ext)
         elif x[-1] in ("a/aa", "aa/a", "aa/aa", "DUP", "TANDUP"):
             key = ":".join([str(i) for i in x[:-3]] + ["TANDUP"])
             scores = ctx.validate_tandup(
                 num_reads_cff, x[:-3],
                 out_path + sample + ".TANDUP." + key.replace(":", "__")
-                + ".png")
+                + "." + fig_ext)
         else:
             print(x)
             continue
@@ -251,6 +311,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     num_reads_cff = int(args.PB_supp) if args.PB_supp else \
         DEFAULT_CONFIG.num_reads_cff
+    if args.mode == "scatter":
+        from .orchestrate import run_scatter
+        run_scatter(args.scatter_mode, args.sv_input, args.reference,
+                    args.pacbio_input, args.output_path,
+                    args.output_file, jobs=args.jobs,
+                    backend=args.backend,
+                    extra_args=(["--no-figures"] if args.no_figures
+                                else []))
+        return 0
     ctx = ValidatorContext(args.reference, args.pacbio_input,
                            backend=args.backend,
                            figures=not args.no_figures)
@@ -258,7 +327,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .utils.trace import enable_trace
         enable_trace(ctx)
     if args.mode == "bed":
-        run_bed(args, ctx, num_reads_cff)
+        run_bed(args, ctx, num_reads_cff, fig_ext=args.figure_format)
+    elif args.mode == "pdf":
+        # vapor_pdf twin: 4-col BED, default min-reads 10, PDF figures,
+        # output written next to the input (vapor_pdf:92-138)
+        if not args.PB_supp:
+            num_reads_cff = 10
+        args.output_file = args.output_file or args.sv_input + ".vapor"
+        run_bed(args, ctx, num_reads_cff, fig_ext="pdf", bed4=True)
     elif args.mode == "vcf":
         run_vcf(args, ctx, num_reads_cff)
     elif args.mode == "ins":

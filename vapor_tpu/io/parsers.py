@@ -103,6 +103,35 @@ def bed_info_readin(bed_input: str) -> List[List]:
     return out
 
 
+def bed4_info_readin(bed_input: str) -> List[List]:
+    """4-col BED (type in col 4) as accepted by vapor_pdf:111-130.
+
+    INS rows may carry ``INS_<len>`` / ``INS_<seq>`` in the type token;
+    the returned rows use the 6-field layout of bed_info_readin with a
+    synthesized SVID (``<chrom>_<start>``)."""
+    out: List[List] = []
+    with open(bed_input) as fin:
+        for line in fin:
+            pin = line.strip().split()
+            if not pin or len(pin) < 4:
+                continue
+            chrom, start, end, t = pin[0], int(pin[1]), int(pin[2]), pin[3]
+            svid = f"{chrom}_{start}"
+            if "DUP" in t or "duplication" in t:
+                out.append([chrom, start, end, svid, "a/a", "a/aa"])
+            elif "DEL" in t or "deletion" in t:
+                out.append([chrom, start, end, svid, "a/a", "/a"])
+            elif "INV" in t or "inversion" in t:
+                out.append([chrom, start, end, svid, "a/a", "a/a^"])
+            elif any(k in t for k in
+                     ("INS", "ALU", "HERVK", "LINE1", "SVA", "insertion")):
+                if "_" in t:
+                    token = t.split("_")[1]
+                    value = int(token) if token.isdigit() else token
+                    out.append([chrom, start, end, svid, value, "INS"])
+    return out
+
+
 # --- complex INFO interpreters (vapor:84-125) -------------------------------
 
 def _block_reorganize(block_hash: Dict) -> object:

@@ -1,0 +1,209 @@
+"""Truth-set simulation: spec-driven SV placement + genome mutation.
+
+Modern, BioPython-free equivalent of the reference's simulation pair
+(simulate/selectVariantChromosomes.py:17-58 and
+generateVariantChromosomes.py:184-303): distribute an SV spec across
+contigs weighted by length, place non-overlapping breakpoints with
+buffers and blacklist avoidance, apply the edits (del / inv /
+tan_dup / dis_dup / ins / del_inv / dup_inv) end-to-start so upstream
+coordinates stay stable, optionally salt breakpoints with micro-indels,
+and emit truth BED/VCF plus the mutated FASTA.
+
+Used by the accuracy harness (tests/test_accuracy_sim.py) to measure
+sensitivity/specificity of the validator against known SVs.
+"""
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..io.fasta import reverse_complement
+
+
+@dataclass
+class SVSpec:
+    """One row of the simulation spec table."""
+    svtype: str                  # del, inv, tan_dup, dis_dup, ins,
+    #                              del_inv, dup_inv
+    size_range: Tuple[int, int]
+    count: int
+    dup_times: int = 2           # tan_dup copy count (reference: <= 50)
+
+
+@dataclass
+class PlacedSV:
+    svtype: str
+    chrom: str
+    start0: int
+    end0: int
+    info: Dict = field(default_factory=dict)
+
+
+DEFAULT_SPEC = [
+    SVSpec("del", (100, 1000), 4),
+    SVSpec("inv", (100, 1000), 4),
+    SVSpec("tan_dup", (100, 600), 3),
+    SVSpec("dis_dup", (100, 500), 2),
+    SVSpec("ins", (100, 500), 3),
+    SVSpec("del_inv", (100, 500), 2),
+]
+
+
+def distribute_counts(spec: Sequence[SVSpec],
+                      contig_lengths: Dict[str, int],
+                      rng: random.Random) -> Dict[str, List[SVSpec]]:
+    """Split spec counts across contigs weighted by length (~±10%,
+    selectVariantChromosomes.py:28-45)."""
+    total = sum(contig_lengths.values())
+    out: Dict[str, List[SVSpec]] = {c: [] for c in contig_lengths}
+    for s in spec:
+        remaining = s.count
+        items = list(contig_lengths.items())
+        for i, (chrom, length) in enumerate(items):
+            if i == len(items) - 1:
+                n = remaining
+            else:
+                base = s.count * length / total
+                n = max(0, min(remaining,
+                               round(base * rng.uniform(0.9, 1.1))))
+            remaining -= n
+            if n > 0:
+                out[chrom].append(SVSpec(s.svtype, s.size_range, n,
+                                         s.dup_times))
+    return out
+
+
+def place_svs(contig_len: int, chrom: str, specs: Sequence[SVSpec],
+              rng: random.Random, buffer: int = 3000,
+              blacklist: Sequence[Tuple[int, int]] = ()) -> List[PlacedSV]:
+    """Non-overlapping placements with inter-SV buffers and blacklist
+    avoidance (generateVariantChromosomes.py:184-260)."""
+    taken: List[Tuple[int, int]] = [tuple(b) for b in blacklist]
+
+    def free(s: int, e: int) -> bool:
+        return all(e + buffer <= bs or s - buffer >= be
+                   for bs, be in taken)
+
+    out: List[PlacedSV] = []
+    for spec in specs:
+        for _ in range(spec.count):
+            for _attempt in range(200):
+                size = rng.randint(*spec.size_range)
+                s = rng.randint(buffer, contig_len - buffer - size)
+                e = s + size
+                extra_ok = True
+                info: Dict = {}
+                if spec.svtype == "dis_dup":
+                    ip = rng.randint(e + buffer // 2,
+                                     min(contig_len - buffer,
+                                         e + 3 * buffer))
+                    extra_ok = free(ip, ip + 1)
+                    info["insert_point"] = ip
+                if spec.svtype == "dup_inv":
+                    ip = rng.randint(e + buffer // 2,
+                                     min(contig_len - buffer,
+                                         e + 3 * buffer))
+                    extra_ok = free(ip, ip + 1)
+                    info["insert_point"] = ip
+                if spec.svtype == "tan_dup":
+                    info["dup_times"] = spec.dup_times
+                if free(s, e) and extra_ok:
+                    taken.append((s, e))
+                    if "insert_point" in info:
+                        taken.append((info["insert_point"],
+                                      info["insert_point"] + 1))
+                    out.append(PlacedSV(spec.svtype, chrom, s, e, info))
+                    break
+    out.sort(key=lambda sv: sv.start0)
+    return out
+
+
+def apply_svs(ref: str, svs: Sequence[PlacedSV], rng: random.Random,
+              micro_indel_rate: float = 0.12) -> str:
+    """Mutate a contig: edits applied end -> start so coordinates stay
+    valid (generateVariantChromosomes.py:278-298); breakpoints get
+    micro-indels at ``micro_indel_rate`` (:264)."""
+    edits: List[Tuple[int, int, str]] = []   # (start0, end0, replacement)
+    for sv in svs:
+        body = ref[sv.start0:sv.end0]
+        if sv.svtype == "del":
+            edits.append((sv.start0, sv.end0, ""))
+        elif sv.svtype == "inv":
+            edits.append((sv.start0, sv.end0, reverse_complement(body)))
+        elif sv.svtype == "tan_dup":
+            times = sv.info.get("dup_times", 2)
+            edits.append((sv.start0, sv.end0, body * times))
+        elif sv.svtype == "ins":
+            ins = "".join(rng.choice("ACGT")
+                          for _ in range(sv.end0 - sv.start0))
+            sv.info["seq"] = ins
+            edits.append((sv.start0, sv.start0, ins))
+        elif sv.svtype == "dis_dup":
+            ip = sv.info["insert_point"]
+            edits.append((ip, ip, body))
+        elif sv.svtype == "dup_inv":
+            ip = sv.info["insert_point"]
+            edits.append((ip, ip, reverse_complement(body)))
+        elif sv.svtype == "del_inv":
+            mid = sv.start0 + (sv.end0 - sv.start0) // 2
+            sv.info["del_block"] = (sv.start0, mid)
+            sv.info["inv_block"] = (mid, sv.end0)
+            edits.append((sv.start0, sv.end0,
+                          reverse_complement(ref[mid:sv.end0])))
+        else:
+            raise ValueError(sv.svtype)
+    donor = ref
+    for s, e, repl in sorted(edits, key=lambda t: -t[0]):
+        if rng.random() < micro_indel_rate:
+            repl = rng.choice("ACGT") + repl
+        donor = donor[:s] + repl + donor[e:]
+    return donor
+
+
+def write_truth_bed(path: str, svs: Sequence[PlacedSV]) -> None:
+    label = {"del": "DEL", "inv": "INV", "tan_dup": "DUP",
+             "dis_dup": "DISDUP", "ins": "INS", "del_inv": "DEL_INV",
+             "dup_inv": "DUP_INV"}
+    with open(path, "w") as fo:
+        for i, sv in enumerate(svs):
+            fo.write(f"{sv.chrom}\t{sv.start0}\t{sv.end0}\tsv{i}\t"
+                     f"{label[sv.svtype]}\n")
+
+
+def write_truth_vcf(path: str, svs: Sequence[PlacedSV],
+                    contig_lengths: Dict[str, int]) -> None:
+    lines = ["##fileformat=VCFv4.2"]
+    for c, ln in contig_lengths.items():
+        lines.append(f"##contig=<ID={c},length={ln}>")
+    lines += ['##INFO=<ID=END,Number=1,Type=Integer,Description="E">',
+              '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="T">',
+              "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS"]
+    for i, sv in enumerate(svs):
+        if sv.svtype == "del":
+            info = f"SVTYPE=DEL;END={sv.end0}"
+        elif sv.svtype == "inv":
+            info = f"SVTYPE=INV;END={sv.end0}"
+        elif sv.svtype == "tan_dup":
+            info = f"SVTYPE=DUP;END={sv.end0}"
+        elif sv.svtype == "ins":
+            seq = sv.info.get("seq", "")
+            info = (f"SVTYPE=INS;END={sv.start0 + 1};"
+                    f"SVLEN={len(seq)};SEQ={seq}")
+        elif sv.svtype == "dis_dup":
+            info = (f"SVTYPE=disdup;END={sv.end0};"
+                    f"insert_point={sv.chrom}:{sv.info['insert_point']}")
+        elif sv.svtype == "dup_inv":
+            info = (f"SVTYPE=dup_inv;END={sv.end0};"
+                    f"insert_point={sv.chrom}:{sv.info['insert_point']}")
+        elif sv.svtype == "del_inv":
+            ds, de = sv.info["del_block"]
+            vs, ve = sv.info["inv_block"]
+            info = (f"SVTYPE=del_inv;END={sv.end0};"
+                    f"del={sv.chrom}:{ds}-{de};inv={sv.chrom}:{vs}-{ve}")
+        else:
+            continue
+        lines.append(f"{sv.chrom}\t{sv.start0 + 1}\tsv{i}\tN\t<SV>\t99\t"
+                     f"PASS\t{info}\tGT\t0/1")
+    with open(path, "w") as fo:
+        fo.write("\n".join(lines) + "\n")
