@@ -55,7 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--PB-supp", required=False,
                         help="minimum number of evaluable PacBio reads")
     parser.add_argument("--backend", default="auto",
-                        choices=["auto", "numpy", "jax"],
+                        choices=["auto", "numpy", "jax", "jax-v1"],
                         help="scoring backend (default: auto)")
     parser.add_argument("--no-figures", action="store_true",
                         help="skip per-event recurrence-plot PNGs")

@@ -1,0 +1,508 @@
+"""Fused scoring engine v2: one device call per (scorer, haplotype).
+
+Differences from engine.kernel (v1):
+
+* hits are computed in **normal (i, j) coordinates** — the windowed AND
+  runs along diagonal shifts (static per window size, `lax.switch` over
+  k in {10,20,30,40}), and the reverse-complement side is flipped back
+  into dot coordinates so both sides share every downstream stage;
+* diagonal / anti-diagonal histograms use a **hierarchical skew-reduce**
+  (radix-8 roll-and-sum pyramid, ~4.5 passes instead of the reshape
+  trick that lowers badly on TPU);
+* **gap clustering runs on device** (exact integer 1-D ops), so cluster
+  keep-tables never round-trip to the host;
+* keep masks come back to normal space via the reverse pyramid
+  (`unskew_broadcast`), and all masked moments are elementwise +
+  reduction in normal space;
+* the within-10% leftover stage and the redefine-diagonal intercept
+  (two-level integer binning + weighted median) also run on device.
+
+Only exact integer scalars go to the host, which finishes the float
+math in f64 exactly like the oracle.  Parity: tests/test_fused_vs_oracle.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import oracle
+from .kernel import (HAP_PAD, READ_PAD, HAP_BUCKETS, bucket_for,
+                     _split_sum)
+
+RADIX = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def hist_width(H: int, R: int) -> int:
+    return _round_up(H + R + RADIX ** 4, 128)
+
+
+# ---------------------------------------------------------------------------
+# hits in normal coordinates
+# ---------------------------------------------------------------------------
+
+def _win_and_static(B: jnp.ndarray, k: int) -> jnp.ndarray:
+    """AND over k diagonal shifts of B, by doubling (static k)."""
+    pows = {}
+    cur = B
+    step = 1
+    pows[1] = B
+    while step * 2 <= k:
+        cur = cur[:-step, :-step] & cur[step:, step:]
+        cur = jnp.pad(cur, ((0, step), (0, step)))
+        step *= 2
+        pows[step] = cur
+    out = None
+    shift = 0
+    rem = k
+    for step in sorted(pows, reverse=True):
+        if step <= rem:
+            part = pows[step]
+            moved = jnp.pad(part[shift:, shift:],
+                            ((0, shift), (0, shift))) if shift else part
+            out = moved if out is None else (out & moved)
+            shift += step
+            rem -= step
+    return out
+
+
+def _hits_normal(hap: jnp.ndarray, read: jnp.ndarray, k_idx: jnp.ndarray,
+                 m: jnp.ndarray) -> jnp.ndarray:
+    """K[i, j] = 1 iff hap[i:i+k] == read[j:j+k], i >= m (k = 10·(idx+1))."""
+    B = (hap[:, None] == read[None, :]) & (
+        jax.lax.broadcasted_iota(jnp.int32, (hap.shape[0], 1), 0) >= m)
+    return lax.switch(k_idx, [
+        lambda b: _win_and_static(b, 10),
+        lambda b: _win_and_static(b, 20),
+        lambda b: _win_and_static(b, 30),
+        lambda b: _win_and_static(b, 40),
+    ], B)
+
+
+def _flip_to_dot_space(Kq: jnp.ndarray, rlen: jnp.ndarray,
+                       k: jnp.ndarray) -> jnp.ndarray:
+    """Map reverse-complement hits (i, q) -> dot coordinates (i, j):
+    j = rlen - k - q.  Wrapped-in columns are masked off."""
+    H, R = Kq.shape
+    flipped = jnp.flip(Kq, axis=1)          # (i, R-1-q)
+    two = jnp.concatenate([flipped, flipped], axis=1)
+    shift = (R - 1) - (rlen - k)            # j = (R-1-q) - shift
+    rolled = lax.dynamic_slice(two, (0, shift), (H, R))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
+    return rolled & (cols <= rlen - k)
+
+
+# ---------------------------------------------------------------------------
+# hierarchical skew-reduce / unskew-broadcast
+# ---------------------------------------------------------------------------
+
+def skew_reduce(K: jnp.ndarray, W: int, sign: int,
+                col_offset: int) -> jnp.ndarray:
+    """Histogram over c = col_offset + j + sign*i of a (H, R) 0/1 matrix.
+
+    Radix-8 pyramid: place K in a width-W buffer, then repeatedly group
+    8 rows, roll sub-row r by sign*r*stride, and sum the group.
+    """
+    H, R = K.shape
+    X = jnp.zeros((H, W), jnp.int32).at[:, col_offset:col_offset + R].set(
+        K.astype(jnp.int32))
+    stride = 1
+    while X.shape[0] > 1:
+        rows = X.shape[0]
+        g = min(RADIX, rows)
+        pad_rows = _round_up(rows, g) - rows
+        if pad_rows:
+            X = jnp.pad(X, ((0, pad_rows), (0, 0)))
+        X = X.reshape(-1, g, W)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (1, g, 1), 1)
+        for bit in (1, 2, 4):
+            if bit >= g:
+                break
+            rolled = jnp.roll(X, sign * bit * stride, axis=2)
+            X = jnp.where((sub & bit) > 0, rolled, X)
+        X = X.sum(axis=1)
+        stride *= g
+    return X[0]
+
+
+def unskew_broadcast(table: jnp.ndarray, H: int, sign: int,
+                     col_offset: int, R: int) -> jnp.ndarray:
+    """Mat[i, j] = table[col_offset + j + sign*i] — reverse pyramid."""
+    W = table.shape[0]
+    levels = []
+    n = 1
+    while n < H:
+        n *= RADIX
+        levels.append(n)
+    X = table[None, :]
+    stride = n // RADIX if levels else 1
+    for _ in levels:
+        rows = X.shape[0]
+        X = jnp.broadcast_to(X[:, None, :], (rows, RADIX, W))
+        sub = jax.lax.broadcasted_iota(jnp.int32, (1, RADIX, 1), 1)
+        for bit in (1, 2, 4):
+            rolled = jnp.roll(X, -sign * bit * stride, axis=2)
+            X = jnp.where((sub & bit) > 0, rolled, X)
+        X = X.reshape(rows * RADIX, W)
+        stride //= RADIX
+    return X[:H, col_offset:col_offset + R]
+
+
+# ---------------------------------------------------------------------------
+# on-device gap clustering (exact, pyx:551-580 semantics)
+# ---------------------------------------------------------------------------
+
+def kept_table_device(h: jnp.ndarray, gap: int, thr: int,
+                      fallback_max: bool) -> jnp.ndarray:
+    """Bool keep-table over histogram buckets: clusters of present
+    values (gap < `gap` merges), kept when weighted total > thr, else —
+    with fallback — when total equals the maximum."""
+    W = h.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (W,), 0)
+    nz = h > 0
+    prev_nz = lax.cummax(jnp.where(nz, idx, -1))
+    prev_excl = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                 prev_nz[:-1]])
+    is_start = nz & ((idx - prev_excl >= gap) | (prev_excl < 0))
+    cum = jnp.cumsum(h)
+    cum_before = lax.cummax(jnp.where(
+        is_start, jnp.concatenate([jnp.zeros((1,), h.dtype),
+                                   cum[:-1]]), -1))
+    running = cum - cum_before
+    # segment end = (next start) - 1, else last index
+    BIG = jnp.int32(W + 1)
+    nxt = jnp.flip(lax.cummin(jnp.flip(
+        jnp.where(is_start, idx, BIG))))
+    nxt_excl = jnp.concatenate([nxt[1:], jnp.full((1,), BIG, jnp.int32)])
+    seg_end = jnp.minimum(nxt_excl - 1, W - 1)
+    seg_total = running[seg_end]
+    kept = nz & (seg_total > thr)
+    if fallback_max:
+        # segment representatives are the start buckets (an end bucket
+        # can be a trailing zero when the segment runs to the boundary)
+        max_total = jnp.max(jnp.where(is_start, seg_total, 0))
+        fallback = nz & (seg_total == max_total)
+        kept = jnp.where(jnp.any(nz & (seg_total > thr)), kept, fallback)
+    return kept
+
+
+# ---------------------------------------------------------------------------
+# on-device most-abundant-intercept (pyx:582-591, exact integers)
+# ---------------------------------------------------------------------------
+
+def intercept_z_device(h: jnp.ndarray, col_offset: int) -> jnp.ndarray:
+    """2x the re-centering intercept from a d-histogram (int32).
+
+    Two-level 10-bin histogram mode + weighted median, all in exact
+    integer arithmetic (bin test: 10(v-lo) >= t(hi-lo)).
+    Buckets hold values v = index - col_offset.
+    """
+    W = h.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (W,), 0)
+    v = idx - col_offset
+    nz = h > 0
+    total = h.sum()
+    lo = jnp.min(jnp.where(nz, v, 2 ** 30))
+    hi = jnp.max(jnp.where(nz, v, -(2 ** 30)))
+
+    def bin_of(vals, lo_, hi_):
+        t = jnp.arange(1, 11, dtype=jnp.int32)
+        return (10 * (vals[:, None] - lo_) >=
+                t[None, :] * (hi_ - lo_)).sum(axis=1)
+
+    b1 = bin_of(v, lo, hi)
+    counts1 = jnp.zeros((11,), h.dtype).at[b1].add(jnp.where(nz, h, 0))
+    max1 = counts1.max()
+    win1 = counts1 == max1
+
+    def sub_stats(t):
+        in_bin = nz & (b1 == t)
+        s_lo = jnp.min(jnp.where(in_bin, v, 2 ** 30))
+        s_hi = jnp.max(jnp.where(in_bin, v, -(2 ** 30)))
+        b2 = bin_of(v, s_lo, s_hi)
+        counts2 = jnp.zeros((11,), h.dtype).at[b2].add(
+            jnp.where(in_bin, h, 0))
+        m2 = counts2.max()
+        n_win2 = (counts2 == m2).sum()
+        # weighted median of the winning sub-bin (if unique)
+        wb = jnp.argmax(counts2 == m2)
+        sel = in_bin & (b2 == wb)
+        hsel = jnp.where(sel, h, 0)
+        n = hsel.sum()
+        cums = jnp.cumsum(hsel)
+        k1 = (n - 1) // 2 + 1
+        k2 = n // 2 + 1
+        v1 = jnp.min(jnp.where(cums >= k1, v, 2 ** 30))
+        v2 = jnp.min(jnp.where(cums >= k2, v, 2 ** 30))
+        return n_win2, v1 + v2
+
+    n_wins, medians2 = jax.vmap(sub_stats)(jnp.arange(11))
+    n_wins = jnp.where(win1, n_wins, 0)
+    total_winners = n_wins.sum()
+    # z = 2*median of the single winning sub-bin; ties -> no intercept
+    pick = jnp.argmax(jnp.where(win1, n_wins, 0) > 0)
+    found = (total > 0) & (total_winners == 1)
+    z = jnp.where(found, medians2[pick], 0)
+    return found, z
+
+
+# ---------------------------------------------------------------------------
+# fused per-(read, hap) statistics
+# ---------------------------------------------------------------------------
+
+def _moment_block(Kf, Kr, keep, ip, d_f, d_r, z, want_w10, want_sel):
+    zero = jnp.int32(0)
+    outs = []
+    for K, d in ((Kf, d_f), (Kr, d_r)):
+        M = (K & keep).astype(jnp.int32)
+        absd = jnp.abs(d)
+        cnt = _split_sum(M.sum(axis=0))
+        sd = _split_sum((M * absd).sum(axis=0))
+        if want_w10:
+            w10 = _split_sum((M * ((ip > 0) & (25 * absd < 4 * ip))
+                              ).sum(axis=0))
+        else:
+            w10 = (zero, zero)
+        if want_sel:
+            num = jnp.abs(z - 2 * d)
+            den = jnp.abs(2 * ip + z)
+            den = jnp.where(2 * ip + z == 0,
+                            jnp.abs(2 * ip + z + 2), den)
+            sel = M * (10 * num > den)
+            sel_cnt = _split_sum(sel.sum(axis=0))
+            val = z - 2 * d
+            pv = jnp.maximum(val, 0)
+            nv = jnp.maximum(-val, 0)
+            pos_hi = (sel * (pv >> 16)).sum()
+            pos_lo = _split_sum((sel * (pv & 0xFFFF)).sum(axis=0))
+            neg_hi = (sel * (nv >> 16)).sum()
+            neg_lo = _split_sum((sel * (nv & 0xFFFF)).sum(axis=0))
+        else:
+            sel_cnt = (zero, zero)
+            pos_hi, pos_lo = zero, (zero, zero)
+            neg_hi, neg_lo = zero, (zero, zero)
+        outs.append(jnp.stack([
+            cnt[0], cnt[1], sd[0], sd[1], w10[0], w10[1],
+            sel_cnt[0], sel_cnt[1], pos_hi, pos_lo[0], pos_lo[1],
+            neg_hi, neg_lo[0], neg_lo[1]]))
+    return outs[0] + outs[1]
+
+
+def _fused_one(hap, read, rc, rlen, m, k_idx, H: int, R: int,
+               scorer: str):
+    """Everything for one (read, hap): gates, cleaning, moments."""
+    W = hist_width(H, R)
+    k = 10 * (k_idx + 1)
+    Kf = _hits_normal(hap, read, k_idx, m)
+    Kr = _flip_to_dot_space(_hits_normal(hap, rc, k_idx, m), rlen, k)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, R), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, R), 1)
+    ip = rows - m
+    d = cols - ip                     # j - i'
+    Kboth = Kf | Kr
+
+    # gates
+    n_f = _split_sum(Kf.sum(axis=0, dtype=jnp.int32))
+    n_r = _split_sum(Kr.sum(axis=0, dtype=jnp.int32))
+    any_row = Kboth.sum(axis=1, dtype=jnp.int32) > 0
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (H,), 0)
+    i_min = jnp.min(jnp.where(any_row, ridx, H + 1))
+    i_max = jnp.max(jnp.where(any_row, ridx, -1))
+    scalars = jnp.stack([n_f[0], n_f[1], n_r[0], n_r[1], i_min, i_max])
+
+    # histograms over c_d = j + H - i  and  c_a = j + i
+    # (shift-invariant clustering: the m offset cancels inside clusters)
+    Ksum = Kf.astype(jnp.int8) + Kr.astype(jnp.int8)
+    h_d = skew_reduce(Ksum, W, -1, H)
+    h_a = skew_reduce(Ksum, W, +1, 0)
+
+    z = jnp.int32(0)
+    if scorer in ("m1b", "rdd"):
+        kd = kept_table_device(h_d, 10, 10, False)
+        ka = kept_table_device(h_a, 10, 10, False)
+        keep = unskew_broadcast(kd, H, -1, H, R) | \
+            unskew_broadcast(ka, H, +1, 0, R)
+        if scorer == "rdd":
+            h_d_kept = skew_reduce(Ksum * keep.astype(jnp.int8),
+                                   W, -1, H)
+            # the histogram holds d - m values; shift the median back
+            # only when one was found (ties mean intercept 0, unshifted)
+            found, z_dev = intercept_z_device(h_d_kept, H)
+            z = jnp.where(found, z_dev + 2 * m, 0)
+    elif scorer == "w10":
+        kd50 = kept_table_device(h_d, 10, 50, True)
+        not_kept = ~unskew_broadcast(kd50, H, -1, H, R)
+        h_a_left = skew_reduce(Ksum * not_kept.astype(jnp.int8),
+                               W, +1, 0)
+        ka50 = kept_table_device(h_a_left, 10, 50, True)
+        keep = (~not_kept) | unskew_broadcast(ka50, H, +1, 0, R)
+    else:
+        keep = jnp.ones((H, R), jnp.bool_)
+
+    mom = _moment_block(Kf, Kr, keep, ip, d, d, z,
+                        want_w10=(scorer == "w10"),
+                        want_sel=(scorer == "rdd"))
+    return h_d, h_a, scalars, mom
+
+
+@functools.partial(jax.jit, static_argnames=("H", "R", "scorer"))
+def fused_batch(hap, reads, rcs, rlens, ms, k_idx, H: int, R: int,
+                scorer: str):
+    def f(args):
+        read, rc, rlen, m = args
+        return _fused_one(hap, read, rc, rlen, m, k_idx, H, R, scorer)
+    return lax.map(f, (reads, rcs, rlens, ms))
+
+
+# ---------------------------------------------------------------------------
+# host-facing backend
+# ---------------------------------------------------------------------------
+
+class FusedStats:
+    """Exact-integer host view of one fused batch."""
+
+    def __init__(self, h_d, h_a, scalars, mom):
+        self.h_d = np.asarray(h_d)
+        self.h_a = np.asarray(h_a)
+        s = np.asarray(scalars, dtype=np.int64)
+        self.n_dots = ((s[:, 0] << 16) + s[:, 1] +
+                       (s[:, 2] << 16) + s[:, 3])
+        self.i_min = s[:, 4]
+        self.i_max = s[:, 5]
+        m = np.asarray(mom, dtype=np.int64)
+        self.cnt = (m[:, 0] << 16) + m[:, 1]
+        self.sum_absd = (m[:, 2] << 16) + m[:, 3]
+        self.w10 = (m[:, 4] << 16) + m[:, 5]
+        self.sel_cnt = (m[:, 6] << 16) + m[:, 7]
+        self.sel_pos = (m[:, 8] << 16) + (m[:, 9] << 16) + m[:, 10]
+        self.sel_neg = (m[:, 11] << 16) + (m[:, 12] << 16) + m[:, 13]
+
+    def span(self, b: int) -> int:
+        if self.n_dots[b] == 0:
+            return 0
+        return int(self.i_max[b] - self.i_min[b])
+
+
+class FusedBackend:
+    """v2 device backend: single fused call per (scorer, haplotype)."""
+
+    name = "jax-fused"
+
+    def _encode_hap(self, seq: str, H: int) -> np.ndarray:
+        codes = oracle.encode(seq)
+        out = np.full(H, HAP_PAD, dtype=np.uint8)
+        out[: len(codes)] = codes
+        return out
+
+    def _encode_reads(self, reads: Sequence[Sequence], R: int):
+        B = len(reads)
+        fw = np.full((B, R), READ_PAD, dtype=np.uint8)
+        rc = np.full((B, R), READ_PAD, dtype=np.uint8)
+        rlens = np.zeros(B, dtype=np.int32)
+        ms = np.zeros(B, dtype=np.int32)
+        for b, r in enumerate(reads):
+            codes = oracle.encode(r[0])
+            fw[b, : len(codes)] = codes
+            rc[b, : len(codes)] = oracle.encode_comp(r[0])[::-1]
+            rlens[b] = len(codes)
+            ms[b] = int(r[1])
+        return fw, rc, rlens, ms
+
+    def _run(self, hap_codes, enc, window, H, R, scorer) -> FusedStats:
+        fw, rc, rlens, ms = enc
+        out = fused_batch(jnp.asarray(hap_codes), jnp.asarray(fw),
+                          jnp.asarray(rc), jnp.asarray(rlens),
+                          jnp.asarray(ms), jnp.int32(window // 10 - 1),
+                          H=H, R=R, scorer=scorer)
+        return FusedStats(*out)
+
+    def score_batch(self, scorer: str, ref_seq: str, alt_seq: str,
+                    reads: Sequence[Sequence], window: int
+                    ) -> List[List[float]]:
+        if not reads:
+            return []
+        if scorer in ("abs_dis_m1", "abs_dis_m2"):
+            return [oracle.SCORERS[scorer](ref_seq, alt_seq, r[0], r[1],
+                                           window) for r in reads]
+        upper = scorer == "abs_dis_m1b"
+        ref_s = ref_seq.upper() if upper else ref_seq
+        alt_s = alt_seq.upper() if upper else alt_seq
+        try:
+            H = bucket_for(max(len(ref_s), len(alt_s)) + 1)
+            R = bucket_for(max(len(r[0]) for r in reads) + 1)
+        except ValueError:
+            return [oracle.SCORERS[scorer](ref_seq, alt_seq, r[0], r[1],
+                                           window) for r in reads]
+        mode = {"abs_dis_m1b": "m1b", "within_10perc_m1b": "w10",
+                "redefine_diagonal": "rdd"}[scorer]
+        enc = self._encode_reads(reads, R)
+        s_ref = self._run(self._encode_hap(ref_s, H), enc, window, H, R,
+                          mode)
+        s_alt = self._run(self._encode_hap(alt_s, H), enc, window, H, R,
+                          mode)
+        out: List[List[float]] = []
+        for b in range(len(reads)):
+            nr, na = int(s_ref.n_dots[b]), int(s_alt.n_dots[b])
+            if mode == "m1b":
+                if not (nr > 2 and na > 2):
+                    out.append([0, 0])
+                    continue
+                if not float(nr) / min(float(len(ref_s)),
+                                       float(len(alt_s))) > 0.1:
+                    out.append([0, 0])
+                    continue
+                r_ok = float(s_ref.span(b)) / float(len(ref_s)) > 0.6
+                a_ok = float(s_alt.span(b)) / float(len(alt_s)) > 0.6
+                if not (r_ok and a_ok):
+                    out.append([1.1, 2.1] if r_ok else
+                               ([2.1, 1.1] if a_ok else [0, 0]))
+                    continue
+                cr, ca = int(s_ref.cnt[b]), int(s_alt.cnt[b])
+                if cr > 0 and ca > 0:
+                    out.append([float(s_ref.sum_absd[b]) / cr,
+                                float(s_alt.sum_absd[b]) / ca])
+                else:
+                    out.append([0, 0])
+            elif mode == "w10":
+                if not max(float(nr) / float(len(ref_s)),
+                           float(na) / float(len(alt_s))) > 0.1:
+                    out.append([0, 0])
+                    continue
+                if int(s_ref.cnt[b]) > 0 and int(s_alt.cnt[b]) > 0:
+                    out.append([int(s_alt.w10[b]), int(s_ref.w10[b])])
+                else:
+                    out.append([0, 0])
+            else:  # rdd
+                if not (float(nr) / float(len(ref_s)) > 0.1 and
+                        float(na) / float(len(alt_s)) > 0.1):
+                    out.append([0, 0])
+                    continue
+                if not (float(s_ref.span(b)) / float(len(ref_s)) > 0.7
+                        and float(s_alt.span(b)) / float(len(alt_s))
+                        > 0.7):
+                    out.append([0, 0])
+                    continue
+                if int(s_ref.cnt[b]) == 0 or int(s_alt.cnt[b]) == 0:
+                    out.append([0, 0])
+                    continue
+                pair = []
+                for s in (s_ref, s_alt):
+                    n_sel = int(s.sel_cnt[b])
+                    if n_sel == 0:
+                        pair.append(0.0001)
+                    else:
+                        total = float(int(s.sel_pos[b]) -
+                                      int(s.sel_neg[b]))
+                        pair.append(abs((total / 2.0) / n_sel))
+                out.append(pair)
+        return out

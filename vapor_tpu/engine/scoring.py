@@ -33,10 +33,13 @@ def get_backend(name: str = "auto"):
         return NumpyBackend()
     if name in ("jax", "auto"):
         try:
-            from .kernel import JaxBackend
-            return JaxBackend()
+            from .fused import FusedBackend
+            return FusedBackend()
         except Exception:
             if name == "jax":
                 raise
             return NumpyBackend()
+    if name == "jax-v1":
+        from .kernel import JaxBackend
+        return JaxBackend()
     raise ValueError(f"unknown backend {name!r}")
