@@ -1,0 +1,109 @@
+"""Device-accelerated window-size refinement.
+
+The adaptive window tuner self-compares the haplotype (pyx:2030-2046);
+on haplotypes up to ~12 kb that is an O(L²) dotplot per event and the
+dominant host cost once read scoring is on the TPU.  This runs the
+self-comparison through the fused-engine primitives and reads back only
+the diagonal histogram:
+
+* diagonal count   = bucket c == H  (i == j);
+* below-diagonal   = sum of buckets c < H (i > j);
+* the X-means repeat-mass check is needed only when the below-diagonal
+  fraction is in (0.1, 0.5) — that rare case falls back to the exact
+  host path (numpy dots + seeded X-means), everything else is decided
+  from the two scalars, exactly like the reference's gate.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import oracle
+from .fused import _hits_normal, _flip_to_dot_space, skew_reduce, \
+    hist_width
+from .kernel import HAP_PAD, bucket_for
+from .window import qual_check_repetitive_region, self_dot_arrays
+
+
+@functools.partial(jax.jit, static_argnames=("H",))
+def _self_stats(hap, rc, length, k_idx, H: int):
+    W = hist_width(H, H)
+    k = 10 * (k_idx + 1)
+    Kf = _hits_normal(hap, hap, k_idx, jnp.int32(0))
+    Kr = _flip_to_dot_space(_hits_normal(hap, rc, k_idx, jnp.int32(0)),
+                            length, k)
+    Ksum = Kf.astype(jnp.int8) + Kr.astype(jnp.int8)
+    h_d = skew_reduce(Ksum, W, -1, H)
+    total = h_d.sum()
+    diag = h_d[H]
+    below = h_d[:H].sum()
+    return total, diag, below
+
+
+class DeviceWindowRefiner:
+    """window_size_refine with the self-dotplot on the device."""
+
+    def __init__(self, region_qc_cff: float = 0.4, seed: int = 0):
+        self.region_qc_cff = region_qc_cff
+        self.seed = seed
+
+    def _stats(self, seq: str, window: int
+               ) -> Optional[Tuple[int, int, int]]:
+        try:
+            H = bucket_for(len(seq) + 1)
+        except ValueError:
+            return None
+        codes = oracle.encode(seq)
+        hap = np.full(H, HAP_PAD, dtype=np.uint8)
+        hap[: len(codes)] = codes
+        rc = np.full(H, 251, dtype=np.uint8)   # distinct pad
+        rc[: len(codes)] = oracle.encode_comp(seq)[::-1]
+        total, diag, below = _self_stats(
+            jnp.asarray(hap), jnp.asarray(rc), jnp.int32(len(codes)),
+            jnp.int32(window // 10 - 1), H=H)
+        return int(total), int(diag), int(below)
+
+    def refine(self, seq: str) -> Optional[int]:
+        seq = seq.replace("X", "")
+        if seq.count("N") + seq.count("n") > 100:
+            return None
+        window = 10
+        stats = self._stats(seq, window)
+        if stats is None:
+            return _host_refine(seq, self.region_qc_cff, self.seed)
+        total, diag, below = stats
+        if total == 0:
+            return None
+        while True:
+            if window > 30:
+                break
+            frac_diag = diag / total
+            frac_below = below / total
+            if frac_diag > self.region_qc_cff:
+                break
+            if not (0.1 < frac_below < 0.5):
+                # size_cluster is [0] -> mass test fails -> break
+                break
+            # rare repeat-heavy case: exact host QC for the mass test
+            ii, jj, ww = self_dot_arrays(window, seq)
+            qc = qual_check_repetitive_region(ii, jj, ww, self.seed)
+            if qc[0] > self.region_qc_cff or \
+                    sum(qc[1]) / len(seq) < 0.3:
+                break
+            window += 10
+            stats = self._stats(seq, window)
+            total, diag, below = stats
+            if total == 0:
+                break
+        return window
+
+
+def _host_refine(seq, cff, seed):
+    from .window import window_size_refine
+    w, _ = window_size_refine(seq, cff, seed)
+    return w

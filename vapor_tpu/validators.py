@@ -55,6 +55,10 @@ class ValidatorContext:
         self.backend = get_backend(backend)
         self.cfg = config
         self.figures = figures
+        self._refiner = None
+        if getattr(self.backend, "name", "").startswith("jax"):
+            from .engine.window_device import DeviceWindowRefiner
+            self._refiner = DeviceWindowRefiner(config.region_qc_cff)
 
     # -- primitives -------------------------------------------------------
 
@@ -69,6 +73,8 @@ class ValidatorContext:
             self.cfg.ideal_read_list_length)
 
     def refine(self, seq: str) -> Optional[int]:
+        if self._refiner is not None:
+            return self._refiner.refine(seq)
         w, _ = window_size_refine(seq, self.cfg.region_qc_cff)
         return w
 
