@@ -1,0 +1,89 @@
+"""Multi-host execution: contig-sharded worklists over DCN.
+
+The reference's only scale-out is file-based WDL scatter (SURVEY §2.5).
+The TPU-native pattern:
+
+* each host initializes `jax.distributed` (DCN control plane) and owns a
+  deterministic shard of the worklist — by contig when contigs >= hosts
+  (BAM/FASTA locality, zero cross-host reads), round-robin by event
+  otherwise;
+* within a host, events batch onto the local chip(s) through the fused
+  engine over the local `Mesh` (see parallel.mesh);
+* result rows are fixed-width; the merge is either the orchestrator's
+  deterministic file merge (orchestrate.merge_outputs) or an in-job
+  `process_allgather` of row blocks when a single annotated output is
+  produced in-process.
+
+On a single host this degenerates to --shard-index 0/--num-shards 1.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+
+def initialize(coordinator: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> Tuple[int, int]:
+    """Initialize jax.distributed if a multi-process env is configured.
+
+    Returns (process_id, num_processes); (0, 1) standalone.  Reads the
+    standard JAX env (JAX_COORDINATOR_ADDRESS etc.) when args are None.
+    """
+    import jax
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator is None:
+        return 0, 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes or
+        int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+        process_id=process_id if process_id is not None else
+        int(os.environ.get("JAX_PROCESS_ID", "0")))
+    return jax.process_index(), jax.process_count()
+
+
+def shard_worklist(events: Sequence, process_id: int, num_processes: int,
+                   contig_of=lambda e: str(e[0])) -> List:
+    """Deterministic worklist shard for this host.
+
+    Contig-granular when there are at least as many contigs as hosts
+    (keeps per-host BAM regions disjoint — the WDL per-contig scatter,
+    internalized); event round-robin otherwise.
+    """
+    if num_processes <= 1:
+        return list(events)
+    contigs = []
+    for e in events:
+        c = contig_of(e)
+        if c not in contigs:
+            contigs.append(c)
+    if len(contigs) >= num_processes:
+        mine = {c for i, c in enumerate(contigs)
+                if i % num_processes == process_id}
+        return [e for e in events if contig_of(e) in mine]
+    return [e for i, e in enumerate(events)
+            if i % num_processes == process_id]
+
+
+def allgather_rows(rows: List[List[str]]) -> List[List[str]]:
+    """Gather per-host result rows to every host (fixed-width text rows
+    encoded as bytes; replaces the file-based ConcatVaPoR merge)."""
+    import jax
+    if jax.process_count() == 1:
+        return rows
+    import numpy as np
+    from jax.experimental import multihost_utils
+    blob = ("\x1e".join("\x1f".join(r) for r in rows)).encode()
+    width = 1 << max(16, (len(blob)).bit_length())
+    buf = np.zeros(width, dtype=np.uint8)
+    buf[: len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+    lengths = multihost_utils.process_allgather(
+        np.array([len(blob)], dtype=np.int64))
+    gathered = multihost_utils.process_allgather(buf)
+    out: List[List[str]] = []
+    for host, length in enumerate(np.asarray(lengths).reshape(-1)):
+        text = bytes(gathered[host][: int(length)]).decode()
+        if text:
+            out.extend(r.split("\x1f") for r in text.split("\x1e"))
+    return out
