@@ -73,8 +73,8 @@ def make_worklist(seed=1234):
 
 
 def bench_ours(events, repeats=3):
-    from vapor_tpu.engine.kernel import JaxBackend
-    be = JaxBackend()
+    from vapor_tpu.engine.scoring import get_backend
+    be = get_backend("jax")
     # warmup / compile
     ref_hap, alt_hap, reads = events[0]
     be.score_batch("abs_dis_m1b", ref_hap, alt_hap, reads, WINDOW)

@@ -6,6 +6,7 @@ loops the oracle scorers.
 """
 from __future__ import annotations
 
+import os
 from typing import List, Sequence
 
 from . import oracle
@@ -26,6 +27,22 @@ class NumpyBackend:
 _DEFAULT_BACKEND = None
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: bucketed shapes compile once
+    per machine, not once per process (first TPU compiles are ~4-40s)."""
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "VAPOR_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "vapor_tpu_xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+
 def get_backend(name: str = "auto"):
     """Resolve the scoring backend: 'numpy', 'jax', or 'auto'."""
     global _DEFAULT_BACKEND
@@ -33,6 +50,7 @@ def get_backend(name: str = "auto"):
         return NumpyBackend()
     if name in ("jax", "auto"):
         try:
+            _enable_compilation_cache()
             from .fused import FusedBackend
             return FusedBackend()
         except Exception:
@@ -40,6 +58,7 @@ def get_backend(name: str = "auto"):
                 raise
             return NumpyBackend()
     if name == "jax-v1":
+        _enable_compilation_cache()
         from .kernel import JaxBackend
         return JaxBackend()
     raise ValueError(f"unknown backend {name!r}")

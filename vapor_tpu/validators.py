@@ -59,6 +59,21 @@ class ValidatorContext:
         if getattr(self.backend, "name", "").startswith("jax"):
             from .engine.window_device import DeviceWindowRefiner
             self._refiner = DeviceWindowRefiner(config.region_qc_cff)
+        # BAM ingest prefetch: decode the BGZF stream on a background
+        # thread while the worklist parses / first haplotypes build
+        # (SURVEY §7: "prefetch pipeline BAM -> host -> HBM")
+        import threading
+
+        def _warm():
+            try:
+                from .io.reads import resolve_bam_inputs, _open_bam
+                for path in resolve_bam_inputs(bam_in):
+                    _open_bam(path)
+            except Exception:
+                pass
+
+        self._prefetch = threading.Thread(target=_warm, daemon=True)
+        self._prefetch.start()
 
     # -- primitives -------------------------------------------------------
 
