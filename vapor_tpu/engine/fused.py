@@ -327,6 +327,26 @@ def _fused_one(hap, read, rc, rlen, m, k_idx, H: int, R: int,
     h_a = skew_reduce(Ksum, W, +1, 0)
 
     z = jnp.int32(0)
+    if scorer == "del":
+        # combined DEL mode: both the m1b and within-10% cleanings +
+        # moment sets in one pass over the hit matrices (the DEL
+        # validator needs both scorers per read, pyx:1715-1726)
+        kd = kept_table_device(h_d, 10, 10, False)
+        ka = kept_table_device(h_a, 10, 10, False)
+        keep_m1b = unskew_broadcast(kd, H, -1, H, R) | \
+            unskew_broadcast(ka, H, +1, 0, R)
+        kd50 = kept_table_device(h_d, 10, 50, True)
+        not_kept = ~unskew_broadcast(kd50, H, -1, H, R)
+        h_a_left = skew_reduce(Ksum * not_kept.astype(jnp.int8),
+                               W, +1, 0)
+        ka50 = kept_table_device(h_a_left, 10, 50, True)
+        keep_w10 = (~not_kept) | unskew_broadcast(ka50, H, +1, 0, R)
+        mom = jnp.concatenate([
+            _moment_block(Kf, Kr, keep_m1b, ip, d, d, z,
+                          want_w10=False, want_sel=False),
+            _moment_block(Kf, Kr, keep_w10, ip, d, d, z,
+                          want_w10=True, want_sel=False)])
+        return h_d, h_a, scalars, mom
     if scorer in ("m1b", "rdd"):
         kd = kept_table_device(h_d, 10, 10, False)
         ka = kept_table_device(h_a, 10, 10, False)
@@ -383,6 +403,9 @@ class FusedStats:
         self.cnt = (m[:, 0] << 16) + m[:, 1]
         self.sum_absd = (m[:, 2] << 16) + m[:, 3]
         self.w10 = (m[:, 4] << 16) + m[:, 5]
+        if m.shape[1] >= 28:   # combined DEL mode: second moment set
+            self.cnt2 = (m[:, 14] << 16) + m[:, 15]
+            self.w10_2 = (m[:, 18] << 16) + m[:, 19]
         self.sel_cnt = (m[:, 6] << 16) + m[:, 7]
         self.sel_pos = (m[:, 8] << 16) + (m[:, 9] << 16) + m[:, 10]
         self.sel_neg = (m[:, 11] << 16) + (m[:, 12] << 16) + m[:, 13]
@@ -418,13 +441,81 @@ class FusedBackend:
             ms[b] = int(r[1])
         return fw, rc, rlens, ms
 
-    def _run(self, hap_codes, enc, window, H, R, scorer) -> FusedStats:
+    def _dispatch(self, hap_codes, enc, window, H, R, scorer):
+        """Launch the device computation without blocking (async)."""
         fw, rc, rlens, ms = enc
-        out = fused_batch(jnp.asarray(hap_codes), jnp.asarray(fw),
-                          jnp.asarray(rc), jnp.asarray(rlens),
-                          jnp.asarray(ms), jnp.int32(window // 10 - 1),
-                          H=H, R=R, scorer=scorer)
-        return FusedStats(*out)
+        return fused_batch(jnp.asarray(hap_codes), jnp.asarray(fw),
+                           jnp.asarray(rc), jnp.asarray(rlens),
+                           jnp.asarray(ms), jnp.int32(window // 10 - 1),
+                           H=H, R=R, scorer=scorer)
+
+    def _run(self, hap_codes, enc, window, H, R, scorer) -> FusedStats:
+        return FusedStats(*self._dispatch(hap_codes, enc, window, H, R,
+                                          scorer))
+
+    def score_del_batch(self, ref_seq: str, alt_seq: str,
+                        reads: Sequence[Sequence], window: int):
+        """Combined DEL scoring: (m1b_scores, w10_scores) from one
+        device call per haplotype instead of two."""
+        if not reads:
+            return [], []
+        ref_m1b = ref_seq.upper()
+        alt_m1b = alt_seq.upper()
+        try:
+            H = bucket_for(max(len(ref_m1b), len(alt_m1b)) + 1)
+            R = bucket_for(max(len(r[0]) for r in reads) + 1)
+        except ValueError:
+            return ([oracle.SCORERS["abs_dis_m1b"](
+                        ref_seq, alt_seq, r[0], r[1], window)
+                     for r in reads],
+                    [oracle.SCORERS["within_10perc_m1b"](
+                        ref_seq, alt_seq, r[0], r[1], window)
+                     for r in reads])
+        enc = self._encode_reads(reads, R)
+        # m1b runs on uppercased haps, within-10% on the raw ones
+        # (pyx:183-184 vs 278) — same device mode, different codes
+        d_ref_u = self._dispatch(self._encode_hap(ref_m1b, H), enc,
+                                 window, H, R, "del")
+        d_alt_u = self._dispatch(self._encode_hap(alt_m1b, H), enc,
+                                 window, H, R, "del")
+        if ref_seq != ref_m1b or alt_seq != alt_m1b:
+            d_ref_r = self._dispatch(self._encode_hap(ref_seq, H), enc,
+                                     window, H, R, "del")
+            d_alt_r = self._dispatch(self._encode_hap(alt_seq, H), enc,
+                                     window, H, R, "del")
+        else:
+            d_ref_r, d_alt_r = d_ref_u, d_alt_u
+        su_ref, su_alt = FusedStats(*d_ref_u), FusedStats(*d_alt_u)
+        sr_ref, sr_alt = FusedStats(*d_ref_r), FusedStats(*d_alt_r)
+        m1b, w10 = [], []
+        for b in range(len(reads)):
+            nr, na = int(su_ref.n_dots[b]), int(su_alt.n_dots[b])
+            if not (nr > 2 and na > 2) or not \
+                    float(nr) / min(float(len(ref_m1b)),
+                                    float(len(alt_m1b))) > 0.1:
+                m1b.append([0, 0])
+            else:
+                r_ok = float(su_ref.span(b)) / float(len(ref_m1b)) > 0.6
+                a_ok = float(su_alt.span(b)) / float(len(alt_m1b)) > 0.6
+                if not (r_ok and a_ok):
+                    m1b.append([1.1, 2.1] if r_ok else
+                               ([2.1, 1.1] if a_ok else [0, 0]))
+                else:
+                    cr, ca = int(su_ref.cnt[b]), int(su_alt.cnt[b])
+                    if cr > 0 and ca > 0:
+                        m1b.append([float(su_ref.sum_absd[b]) / cr,
+                                    float(su_alt.sum_absd[b]) / ca])
+                    else:
+                        m1b.append([0, 0])
+            nr2, na2 = int(sr_ref.n_dots[b]), int(sr_alt.n_dots[b])
+            if not max(float(nr2) / float(len(ref_seq)),
+                       float(na2) / float(len(alt_seq))) > 0.1:
+                w10.append([0, 0])
+            elif int(sr_ref.cnt2[b]) > 0 and int(sr_alt.cnt2[b]) > 0:
+                w10.append([int(sr_alt.w10_2[b]), int(sr_ref.w10_2[b])])
+            else:
+                w10.append([0, 0])
+        return m1b, w10
 
     def score_batch(self, scorer: str, ref_seq: str, alt_seq: str,
                     reads: Sequence[Sequence], window: int
@@ -446,10 +537,14 @@ class FusedBackend:
         mode = {"abs_dis_m1b": "m1b", "within_10perc_m1b": "w10",
                 "redefine_diagonal": "rdd"}[scorer]
         enc = self._encode_reads(reads, R)
-        s_ref = self._run(self._encode_hap(ref_s, H), enc, window, H, R,
-                          mode)
-        s_alt = self._run(self._encode_hap(alt_s, H), enc, window, H, R,
-                          mode)
+        # dispatch both haplotypes before materializing either (the
+        # device overlaps them; np.asarray in FusedStats blocks)
+        d_ref = self._dispatch(self._encode_hap(ref_s, H), enc, window,
+                               H, R, mode)
+        d_alt = self._dispatch(self._encode_hap(alt_s, H), enc, window,
+                               H, R, mode)
+        s_ref = FusedStats(*d_ref)
+        s_alt = FusedStats(*d_alt)
         out: List[List[float]] = []
         for b in range(len(reads)):
             nr, na = int(s_ref.n_dots[b]), int(s_alt.n_dots[b])

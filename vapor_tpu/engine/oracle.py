@@ -89,13 +89,30 @@ def dot_weight_matrix(k: int, seq1: str, seq2: str
     mi, mj = n2 - k + 1, n1 - k + 1
     if mi <= 0 or mj <= 0:
         return np.zeros((max(mi, 0), max(mj, 0)), dtype=np.int8), n2, n1
-    fwd = np.ones((mi, mj), dtype=bool)
-    inv = np.ones((mi, mj), dtype=bool)
-    for s in range(k):
-        m = c2[:, None] == c1[None, :]
-        fwd &= m[s:s + mi, s:s + mj]
-        m2 = c2[:, None] == c1c[None, :]
-        inv &= m2[s:s + mi, k - 1 - s:k - 1 - s + mj]
+
+    def windowed_and(match: np.ndarray) -> np.ndarray:
+        """AND over k diagonal shifts by doubling (log k passes)."""
+        pows = {1: match}
+        cur, step = match, 1
+        while step * 2 <= k:
+            cur = cur[:-step, :-step] & cur[step:, step:]
+            step *= 2
+            pows[step] = cur
+        out = None
+        shift, rem = 0, k
+        for step in sorted(pows, reverse=True):
+            if step <= rem:
+                part = pows[step][shift:shift + mi, shift:shift + mj]
+                out = part.copy() if out is None else (out & part)
+                shift += step
+                rem -= step
+        return out
+
+    fwd = windowed_and(c2[:, None] == c1[None, :])
+    # inverted: hap[i+s] == comp(read[j+k-1-s]) — flip the read axis of
+    # the complement match so the run lies on a forward diagonal
+    m2 = c2[:, None] == c1c[None, ::-1]
+    inv = windowed_and(m2)[:, ::-1]
     return fwd.astype(np.int8) + inv.astype(np.int8), n2, n1
 
 

@@ -137,10 +137,14 @@ class ValidatorContext:
                 w = self.refine(ref_seq)
                 if w is not None:
                     alt_seq = ref_seq[:flank] + ref_seq[-flank:]
-                    s1 = self._score("abs_dis_m1b", ref_seq, alt_seq,
-                                     reads, w)
-                    s2 = self._score("within_10perc_m1b", ref_seq, alt_seq,
-                                     reads, w)
+                    if hasattr(self.backend, "score_del_batch"):
+                        s1, s2 = self.backend.score_del_batch(
+                            ref_seq, alt_seq, reads, w)
+                    else:
+                        s1 = self._score("abs_dis_m1b", ref_seq, alt_seq,
+                                         reads, w)
+                        s2 = self._score("within_10perc_m1b", ref_seq,
+                                         alt_seq, reads, w)
                     for a, b, read in zip(s1, s2, reads):
                         if 0 not in a and 0 not in b:
                             scores.append(min(1 - float(a[1]) / float(a[0]),
