@@ -45,7 +45,15 @@ def resolve_bam_inputs(bam_in: str) -> List[str]:
 
 
 @lru_cache(maxsize=8)
-def _open_bam(path: str) -> BamReader:
+def _open_bam(path: str):
+    """Indexed reader when a .bai sits next to the BAM (no whole-file
+    decompression), whole-file reader otherwise."""
+    if os.path.exists(path + ".bai"):
+        try:
+            from .bai import IndexedBam
+            return IndexedBam(path)
+        except Exception:
+            pass
     return BamReader(path)
 
 
