@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="scatter mode: worklist format")
     parser.add_argument("--jobs", type=int, default=1,
                         help="scatter mode: concurrent shard processes")
+    parser.add_argument("--pipeline", type=int, default=1,
+                        help="overlap host prep and device scoring "
+                             "across N events (output order unchanged)")
+    parser.add_argument("--validate-vcf-tandup", action="store_true",
+                        help="score DUP/TANDUP records in vcf mode "
+                             "(the reference silently drops them; "
+                             "changes output vs reference)")
     return parser
 
 
@@ -89,6 +96,20 @@ def _sample_name(path: str) -> str:
 
 def _shard(items: List, index: int, total: int) -> List:
     return [x for i, x in enumerate(items) if i % total == index]
+
+
+def _run_pipelined(tasks, emit, jobs: int) -> None:
+    """Run per-event closures, optionally overlapped across threads,
+    emitting results strictly in submission order."""
+    if jobs <= 1:
+        for task in tasks:
+            emit(*task())
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=jobs) as pool:
+        futures = [pool.submit(task) for task in tasks]
+        for fut in futures:
+            emit(*fut.result())
 
 
 def _resume_keys(out_name: str):
@@ -138,45 +159,56 @@ def run_bed(args, ctx: ValidatorContext, num_reads_cff: int,
                   "INV": "INV", "INS": "INS", "a/aa": "TANDUP",
                   "aa/a": "TANDUP", "aa/aa": "TANDUP", "DUP": "TANDUP",
                   "TANDUP": "TANDUP"}
+    tasks = []
     for x in events:
         if done:
             label = type_label.get(x[-1])
             pre_key = ":".join(str(i) for i in list(x[:3]) + [label])
             if label and pre_key in done:
                 continue
-        if x[-1] in ("a/", "/a", "/", "DEL"):
-            key = ":".join([str(i) for i in x[:-3]] + ["DEL"])
-            scores = ctx.validate_del(
-                num_reads_cff, x[:-3],
-                out_path + sample + ".DEL." + key.replace(":", "__")
-                + "." + fig_ext)
-        elif x[-1] in ("a/a^", "a^/a", "a^/a^", "INV"):
-            key = ":".join([str(i) for i in x[:-3]] + ["INV"])
-            scores = ctx.validate_inv(
-                num_reads_cff, x[:-3],
-                out_path + sample + ".INV." + key.replace(":", "__")
-                + "." + fig_ext)
-        elif x[-1] == "INS":
-            key = ":".join([str(i) for i in x[:-3] + ["INS"]])
-            ins_pos = "_".join(str(i) for i in x[:2])
-            ins_seq = "X" * x[4] if isinstance(x[4], int) else x[4]
-            scores = ctx.validate_ins(
-                num_reads_cff, ins_pos, ins_seq, "+",
-                out_path + sample + ".INS." + key.replace(":", "__")
-                + "." + fig_ext)
-        elif x[-1] in ("a/aa", "aa/a", "aa/aa", "DUP", "TANDUP"):
-            key = ":".join([str(i) for i in x[:-3]] + ["TANDUP"])
-            scores = ctx.validate_tandup(
-                num_reads_cff, x[:-3],
-                out_path + sample + ".TANDUP." + key.replace(":", "__")
-                + "." + fig_ext)
-        else:
-            print(x)
-            continue
+
+        def task(x=x):
+            if x[-1] in ("a/", "/a", "/", "DEL"):
+                key = ":".join([str(i) for i in x[:-3]] + ["DEL"])
+                scores = ctx.validate_del(
+                    num_reads_cff, x[:-3],
+                    out_path + sample + ".DEL." + key.replace(":", "__")
+                    + "." + fig_ext)
+            elif x[-1] in ("a/a^", "a^/a", "a^/a^", "INV"):
+                key = ":".join([str(i) for i in x[:-3]] + ["INV"])
+                scores = ctx.validate_inv(
+                    num_reads_cff, x[:-3],
+                    out_path + sample + ".INV." + key.replace(":", "__")
+                    + "." + fig_ext)
+            elif x[-1] == "INS":
+                key = ":".join([str(i) for i in x[:-3] + ["INS"]])
+                ins_pos = "_".join(str(i) for i in x[:2])
+                ins_seq = "X" * x[4] if isinstance(x[4], int) else x[4]
+                scores = ctx.validate_ins(
+                    num_reads_cff, ins_pos, ins_seq, "+",
+                    out_path + sample + ".INS." + key.replace(":", "__")
+                    + "." + fig_ext)
+            elif x[-1] in ("a/aa", "aa/a", "aa/aa", "DUP", "TANDUP"):
+                key = ":".join([str(i) for i in x[:-3]] + ["TANDUP"])
+                scores = ctx.validate_tandup(
+                    num_reads_cff, x[:-3],
+                    out_path + sample + ".TANDUP."
+                    + key.replace(":", "__") + "." + fig_ext)
+            else:
+                print(x)
+                return None, None, None
+            return key, x[3], scores
+        tasks.append(task)
+
+    def emit(key, svid, scores):
+        if key is None:
+            return
         result = organize_result(key, scores)
         append_result_row(out_name,
-                          result[0].split(":") + [x[3]] + result[1:])
+                          result[0].split(":") + [svid] + result[1:])
         print(result)
+
+    _run_pipelined(tasks, emit, getattr(args, "pipeline", 1))
 
 
 def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
@@ -244,12 +276,16 @@ def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
                     num_reads_cff, y, out_path + sample + ".DUP_INV."
                     + key.replace(":", "__") + ".png"))
             elif sv_type == "TANDUP":
-                # reference quirk: the VCF flow has no TANDUP branch
-                # (vapor:387-465) — DUP/tandup records are parsed into
-                # the worklist but never validated and emit no row.
-                # Use bed mode (or --validate-vcf-tandup in a future
-                # revision) to score duplications.
-                print(sv_type)
+                if getattr(args, "validate_vcf_tandup", False):
+                    key = ":".join([str(i) for i in y] + ["TANDUP"])
+                    emit(key, ctx.validate_tandup(
+                        num_reads_cff, y, out_path + sample + ".TANDUP."
+                        + key.replace(":", "__") + ".png"))
+                else:
+                    # reference quirk: the VCF flow has no TANDUP branch
+                    # (vapor:387-465) — DUP/tandup records are parsed
+                    # but never validated and emit no row
+                    print(sv_type)
             elif sv_type == "Other":
                 key = ":".join([str(i) for i in y] + ["CANNOT_CLASSIFY"])
                 emit(key, ctx.validate_complex(

@@ -16,6 +16,10 @@ import matplotlib.pyplot as plt  # noqa: E402
 
 from .engine import oracle  # noqa: E402
 
+import threading  # noqa: E402
+
+_FIG_LOCK = threading.Lock()  # matplotlib pyplot state is not thread-safe
+
 
 def _tick_ladder(max_x: int) -> List[int]:
     """The reference's xtick scheme (pyx:1052-1063)."""
@@ -65,10 +69,11 @@ def make_event_figure(best_read: Sequence, window: int, ref_seq: str,
     if len(base) > 150:
         out_name = "/".join(out_name.split("/")[:-1]) + "/" + \
             base[:140] + "." + out_name.split(".")[-1]
-    fig = plt.figure()
-    _subplot(panels[0], "ref vs. ref", 221)
-    _subplot(panels[1], "alt vs. alt", 222)
-    _subplot(panels[2], "read vs. ref", 223)
-    _subplot(panels[3], "read vs. alt", 224)
-    plt.savefig(out_name)
-    plt.close(fig)
+    with _FIG_LOCK:
+        fig = plt.figure()
+        _subplot(panels[0], "ref vs. ref", 221)
+        _subplot(panels[1], "alt vs. alt", 222)
+        _subplot(panels[2], "read vs. ref", 223)
+        _subplot(panels[3], "read vs. alt", 224)
+        plt.savefig(out_name)
+        plt.close(fig)

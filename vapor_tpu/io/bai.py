@@ -18,6 +18,7 @@ Virtual offsets are `coffset << 16 | uoffset` as in the SAM spec.
 from __future__ import annotations
 
 import struct
+import threading
 import zlib
 from typing import Dict, Iterator, List, Tuple
 
@@ -190,6 +191,7 @@ class IndexedBam:
     def __init__(self, path: str):
         self.path = path
         self._fh = open(path, "rb")
+        self._lock = threading.Lock()
         self._index = read_bai(path + ".bai")
         self._block_cache: Dict[int, Tuple[bytes, int]] = {}
         # parse header by streaming blocks from offset 0
@@ -227,25 +229,26 @@ class IndexedBam:
         """(payload, compressed_size) of the block at file offset."""
         if coffset in self._block_cache:
             return self._block_cache[coffset]
-        self._fh.seek(coffset)
-        head = self._fh.read(12)
-        if len(head) < 12:
-            return b"", 0
-        xlen = struct.unpack_from("<H", head, 10)[0]
-        extra = self._fh.read(xlen)
-        if len(extra) < xlen:
-            return b"", 0
-        bsize = None
-        e = 0
-        while e + 4 <= xlen:
-            si1, si2 = extra[e], extra[e + 1]
-            slen = struct.unpack_from("<H", extra, e + 2)[0]
-            if si1 == 0x42 and si2 == 0x43 and slen == 2:
-                bsize = struct.unpack_from("<H", extra, e + 4)[0] + 1
-            e += 4 + slen
-        if bsize is None:
-            return b"", 0
-        cdata = self._fh.read(bsize - 12 - xlen - 8)
+        with self._lock:
+            self._fh.seek(coffset)
+            head = self._fh.read(12)
+            if len(head) < 12:
+                return b"", 0
+            xlen = struct.unpack_from("<H", head, 10)[0]
+            extra = self._fh.read(xlen)
+            if len(extra) < xlen:
+                return b"", 0
+            bsize = None
+            e = 0
+            while e + 4 <= xlen:
+                si1, si2 = extra[e], extra[e + 1]
+                slen = struct.unpack_from("<H", extra, e + 2)[0]
+                if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                    bsize = struct.unpack_from("<H", extra, e + 4)[0] + 1
+                e += 4 + slen
+            if bsize is None:
+                return b"", 0
+            cdata = self._fh.read(bsize - 12 - xlen - 8)
         payload = zlib.decompress(cdata, wbits=-15)
         self._block_cache[coffset] = (payload, bsize)
         if len(self._block_cache) > 512:

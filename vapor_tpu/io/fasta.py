@@ -12,6 +12,7 @@ directly and memory-seek into the FASTA, reproducing faidx behavior:
 from __future__ import annotations
 
 import os
+import threading
 from typing import Dict, List, Tuple
 
 _COMPLEMENT = str.maketrans("ACGTNacgtn", "TGCANtgcan")
@@ -53,6 +54,7 @@ class FastaFile:
                     int(length), int(offset), int(linebases), int(linewidth))
                 self._order.append(name)
         self._fh = open(path, "rb")
+        self._lock = threading.Lock()
 
     def close(self) -> None:
         self._fh.close()
@@ -95,8 +97,9 @@ class FastaFile:
         last_excl = end  # 0-based exclusive == 1-based inclusive end
         last = offset + ((last_excl - 1) // linebases) * linewidth + \
             ((last_excl - 1) % linebases) + 1
-        self._fh.seek(first)
-        raw = self._fh.read(last - first)
+        with self._lock:
+            self._fh.seek(first)
+            raw = self._fh.read(last - first)
         seq = raw.replace(b"\n", b"").replace(b"\r", b"").decode("ascii")
         if revcomp:
             return reverse_complement(seq)
