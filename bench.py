@@ -28,8 +28,8 @@ REFERENCE_PYX = "/root/reference/vapor_vali/Simple_function.pyx"
 # container (used only if /root/reference is unmounted)
 FALLBACK_BASELINE_READS_PER_S = 2.5
 
-N_EVENTS = 12
-READS_PER_EVENT = 20
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "12"))
+READS_PER_EVENT = int(os.environ.get("BENCH_READS", "20"))
 WINDOW = 10
 ERR = 0.08
 
@@ -111,7 +111,29 @@ def bench_reference(events, budget_s=120.0):
     return done / (time.perf_counter() - t0)
 
 
+def _ensure_live_device(probe_timeout=180):
+    """Probe device init in a subprocess; if it hangs or fails (e.g. a
+    wedged TPU tunnel), force the CPU platform so the benchmark always
+    completes."""
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); "
+             "import jax.numpy as jnp; "
+             "(jnp.ones((8,8)) @ jnp.ones((8,8))).block_until_ready()"],
+            timeout=probe_timeout, check=True, capture_output=True)
+        return True
+    except Exception:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        print("bench: device probe failed — falling back to CPU",
+              file=sys.stderr)
+        return False
+
+
 def main():
+    _ensure_live_device()
     events = make_worklist()
     ours, backend = bench_ours(events)
     if os.path.exists(REFERENCE_PYX):
