@@ -72,9 +72,9 @@ def make_worklist(seed=1234):
     return events
 
 
-def bench_ours(events, repeats=3):
+def bench_ours(events, repeats=3, backend="jax"):
     from vapor_tpu.engine.scoring import get_backend
-    be = get_backend("jax")
+    be = get_backend(backend)
     # warmup / compile
     ref_hap, alt_hap, reads = events[0]
     be.score_batch("abs_dis_m1b", ref_hap, alt_hap, reads, WINDOW)
@@ -133,9 +133,11 @@ def _ensure_live_device(probe_timeout=180):
 
 
 def main():
-    _ensure_live_device()
+    device_ok = _ensure_live_device()
     events = make_worklist()
-    ours, backend = bench_ours(events)
+    # without an accelerator the numpy oracle outruns CPU-XLA
+    ours, backend = bench_ours(events,
+                               backend="jax" if device_ok else "numpy")
     if os.path.exists(REFERENCE_PYX):
         base = bench_reference(events)
     else:
