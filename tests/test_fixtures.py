@@ -71,3 +71,27 @@ def test_vcf_worklist_matches_reference_shape():
                                                  "vapor_test.vcf"))
     assert mine == ref_out
     assert my_hash == ref_hash
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference absent")
+def test_legacy_genotype_extractors():
+    import importlib.machinery
+    import importlib.util
+    import numpy as np
+    import scipy
+    scipy.std = np.std
+    loader = importlib.machinery.SourceFileLoader(
+        "ref_sf_geno", f"{REFERENCE_DIR}/vapor_vali/Simple_function.pyx")
+    spec = importlib.util.spec_from_loader("ref_sf_geno", loader)
+    sf = importlib.util.module_from_spec(spec)
+    loader.exec_module(sf)
+    from vapor_tpu.io.parsers import geno_cn_extract, genotype_extract
+    rows = [
+        ["c", "1", "i", "N", "<D>", "9", "P", "X", "GT", "0/1", "1|1"],
+        ["c", "1", "i", "N", "<D>", "9", "P", "X", "GT:CN", "./.:2",
+         "1/0:3"],
+        ["c", "1", "i", "N", "<D>", "9", "P", "X", "GT", "."],
+    ]
+    for pin in rows:
+        assert genotype_extract(pin) == sf.genotype_extract(pin)
+        assert geno_cn_extract(pin) == sf.genoCN_extract(pin)

@@ -61,6 +61,40 @@ def ins_length_extract(pin: List[str]) -> int:
     return out
 
 
+def genotype_extract(pin: List[str]) -> List[int]:
+    """Per-sample GT allele sums (legacy filter, pyx:815-831)."""
+    out = [0, 0]
+    rec_pos = -1
+    if "GT" in pin[8]:
+        for field in pin[8].split(":"):
+            rec_pos += 1
+            if field == "GT":
+                break
+    genos = [s.split(":")[rec_pos] for s in pin[9:]]
+    for g in genos:
+        if "/" in g:
+            out.append(1 if g == "./." else
+                       sum(int(a) for a in g.split("/")))
+        elif "|" in g:
+            out.append(1 if g == ".|." else
+                       sum(int(a) for a in g.split("|")))
+        elif g == ".":
+            out.append(1)
+    return out
+
+
+def geno_cn_extract(pin: List[str]) -> List[int]:
+    """Per-sample CN-based genotype flags (legacy, pyx:804-813)."""
+    rec_pos = -1
+    if "CN" in pin[8]:
+        for field in pin[8].split(":"):
+            rec_pos += 1
+            if field == "CN":
+                break
+    genos = [s.split(":")[rec_pos] for s in pin[9:]]
+    return [0 if g == "2" else 1 for g in genos]
+
+
 def polarity_extract(pin: List[str]) -> str:
     out = "+"
     for field in pin[7].split(";"):
