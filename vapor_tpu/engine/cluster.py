@@ -9,7 +9,6 @@ only observable effect is the repeat-QC mass used by the window tuner.
 """
 from __future__ import annotations
 
-import math
 import warnings
 from typing import List, Sequence
 

@@ -23,7 +23,7 @@ math in f64 exactly like the oracle.  Parity: tests/test_fused_vs_oracle.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 
@@ -32,8 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import oracle
-from .kernel import (HAP_PAD, READ_PAD, HAP_BUCKETS, bucket_for,
-                     _split_sum)
+from .kernel import (HAP_PAD, READ_PAD, bucket_for, _split_sum)
 
 RADIX = 8
 

@@ -14,7 +14,7 @@ reference is deterministic:
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 

@@ -18,15 +18,12 @@ Multi-host: each host shards the worklist by contig (cli --shard-index /
 """
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..engine.kernel import _dot_stats_one, _hist_layout
 

@@ -5,7 +5,7 @@ like the reference); NA rows carry NA for QS/GS/GT/GQ/Rec.
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 from ..stats.genotype import estimate_genotype
 
