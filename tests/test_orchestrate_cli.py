@@ -87,3 +87,41 @@ def test_resume(tmp_path):
     open(out, "w").writelines(lines[:2])
     assert main(common + ["--resume"]) == 0
     assert open(out).read() == full
+
+def test_missing_inputs_clean_errors(capsys):
+    assert main(["bed", "--sv-input", "/nope.bed", "--reference",
+                 "/nope.fa", "--pacbio-input", "/nope.bam",
+                 "--output-path", "/tmp/x", "--output-file",
+                 "/tmp/x.vapor"]) == 2
+
+
+def test_ins_negative_polarity(tmp_path):
+    """MELT '-' strand inserts score via the reverse complement."""
+    import random
+    from vapor_tpu.io.bam import BamRecord, write_bam
+    from vapor_tpu.io.fasta import write_fasta, reverse_complement
+    from vapor_tpu.validators import ValidatorContext
+    rng = random.Random(88)
+    ref = "".join(rng.choice("ACGT") for _ in range(12000))
+    ins = "".join(rng.choice("ACGT") for _ in range(220))
+    donor = ref[:6000] + reverse_complement(ins) + ref[6000:]
+    reads = []
+    for i in range(8):
+        src = donor if i % 2 == 0 else ref
+        start = rng.randint(4500, 5100)
+        seq = src[start:start + 1800]
+        reads.append((start, seq))
+    reads.sort(key=lambda r: r[0])
+    fa = str(tmp_path / "r.fa")
+    write_fasta(fa, {"cP": ref})
+    bam = str(tmp_path / "r.bam")
+    write_bam(bam, [("cP", 12000)], [
+        BamRecord(f"r{i}", 0, 0, p, 60, f"{len(s)}M", s, b"")
+        for i, (p, s) in enumerate(reads)])
+    ctx = ValidatorContext(fa, bam, backend="numpy", figures=False)
+    plus = ctx.validate_ins(3, "cP_6000", ins, "+")
+    minus = ctx.validate_ins(3, "cP_6000", ins, "-")
+    # donor carries revcomp(ins): '-' polarity must find support
+    assert max(minus) > 0.5
+    assert sum(1 for s in minus if s > 0) >= 3
+    assert plus != minus

@@ -347,6 +347,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     num_reads_cff = int(args.PB_supp) if args.PB_supp else \
         DEFAULT_CONFIG.num_reads_cff
+    if not os.path.exists(args.reference):
+        print(f"vapor-tpu: reference FASTA not found: {args.reference}",
+              file=sys.stderr)
+        return 2
+    if args.mode != "ins" and not os.path.exists(args.sv_input):
+        print(f"vapor-tpu: SV input not found: {args.sv_input}",
+              file=sys.stderr)
+        return 2
     if args.mode == "scatter":
         from .orchestrate import run_scatter
         run_scatter(args.scatter_mode, args.sv_input, args.reference,

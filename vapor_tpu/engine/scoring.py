@@ -24,9 +24,6 @@ class NumpyBackend:
         return [fn(ref_seq, alt_seq, r[0], r[1], window) for r in reads]
 
 
-_DEFAULT_BACKEND = None
-
-
 def _enable_compilation_cache() -> None:
     """Persistent XLA compilation cache: bucketed shapes compile once
     per machine, not once per process (first TPU compiles are ~4-40s)."""
@@ -45,7 +42,6 @@ def _enable_compilation_cache() -> None:
 
 def get_backend(name: str = "auto"):
     """Resolve the scoring backend: 'numpy', 'jax', or 'auto'."""
-    global _DEFAULT_BACKEND
     if name == "numpy":
         return NumpyBackend()
     if name in ("jax", "auto"):
