@@ -108,3 +108,45 @@ def test_simulated_accuracy(tmp_path):
     # call gains support
     assert len(true_support) >= 4, rows
     assert not false_support, false_support
+
+def test_del_inv_nonadjacent_blocks(tmp_path):
+    """Non-adjacent DEL_INV blocks dispatch per-block (the reference
+    crashes here on a stale call signature, pyx:1591-1592 — we fixed it;
+    this locks in the working behavior)."""
+    import random
+    from vapor_tpu.io.bam import BamRecord, write_bam
+    from vapor_tpu.io.fasta import write_fasta, reverse_complement
+    from vapor_tpu.validators import ValidatorContext
+    rng = random.Random(121)
+    ref = "".join(rng.choice("ACGT") for _ in range(30000))
+    # del block 8000-8300, inv block 12000-12300 (gap 3700 >= 100)
+    donor = (ref[:8000] + ref[8300:12000]
+             + reverse_complement(ref[12000:12300]) + ref[12300:])
+
+    def donor_pos(p):
+        return p - 300 if p >= 8300 else p
+
+    reads = []
+    for anchor in (8000, 12000):
+        for i in range(8):
+            if i % 2 == 0:
+                start_d = rng.randint(donor_pos(anchor) - 1500,
+                                      donor_pos(anchor) - 1000)
+                seq = donor[start_d:start_d + 2000]
+                pos0 = start_d + (300 if anchor == 12000 else 0)
+            else:
+                pos0 = rng.randint(anchor - 1500, anchor - 1000)
+                seq = ref[pos0:pos0 + 2000]
+            reads.append((pos0, seq))
+    reads.sort(key=lambda r: r[0])
+    fa = str(tmp_path / "r.fa")
+    write_fasta(fa, {"cD": ref})
+    bam = str(tmp_path / "r.bam")
+    write_bam(bam, [("cD", 30000)], [
+        BamRecord(f"r{i}", 0, 0, p, 60, f"{len(s)}M", s, b"")
+        for i, (p, s) in enumerate(reads)])
+    ctx = ValidatorContext(fa, bam, backend="numpy", figures=False)
+    sv_info = [["cD", 8000, 8300, "del"], ["cD", 12000, 12300, "inv"]]
+    scores = ctx.validate_del_inv(3, sv_info)
+    assert len(scores) >= 6          # both blocks contributed reads
+    assert max(scores) > 0.3         # donor reads support
