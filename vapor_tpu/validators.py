@@ -564,8 +564,14 @@ class ValidatorContext:
                             raw = self._score(scorer, ref_seq, alt_seq,
                                               reads, w)
                             self._accumulate(raw, reads, scores, state)
+                            # per-allele figure name (pyx:1526)
+                            parts = fig_name.split(".")
+                            allele_fig = ".".join(
+                                parts[:-1] + [ref_sv[0] + ".vs."
+                                              + alt_allele, parts[-1]]) \
+                                if fig_name else fig_name
                             self._figure(scores, state, w, ref_seq,
-                                         alt_seq, fig_name)
+                                         alt_seq, allele_fig)
             if run_flag == 0:
                 for alt_allele in alt_sv:
                     juncs = block_around_check(alt_allele, ref_sv[0])
