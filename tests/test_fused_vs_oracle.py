@@ -80,3 +80,23 @@ def test_fused_scorer_parity(backend, scorer):
                 f"{scorer} mismatch read={r[2]} w={window}: {g} != {e}")
         nontrivial += sum(1 for e in expect if e != [0, 0])
     assert nontrivial >= 5
+
+
+def test_fused_large_bucket(backend):
+    """Bench-sized haplotypes exercise the 2048 bucket."""
+    rng = random.Random(2718)
+    flank, body_len = 480, 700
+    left = "".join(rng.choice("ACGT") for _ in range(flank))
+    body = "".join(rng.choice("ACGT") for _ in range(body_len))
+    right = "".join(rng.choice("ACGT") for _ in range(flank))
+    ref_hap = left + body + right
+    alt_hap = left + right
+    reads = [[_mutate(alt_hap if i % 2 == 0 else ref_hap, rng, 0.08),
+              0, f"r{i}"] for i in range(3)]
+    for scorer in ("abs_dis_m1b", "within_10perc_m1b"):
+        expect = [oracle.SCORERS[scorer](ref_hap, alt_hap, r[0], r[1], 10)
+                  for r in reads]
+        got = backend.score_batch(scorer, ref_hap, alt_hap, reads, 10)
+        assert [[float(x) for x in g] for g in got] == \
+            [[float(x) for x in e] for e in expect]
+    assert any(e != [0, 0] for e in expect)
