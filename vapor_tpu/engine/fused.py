@@ -374,13 +374,46 @@ def _fused_one(hap, read, rc, rlen, m, k_idx, H: int, R: int,
     return h_d, h_a, scalars, mom
 
 
+def _vmap_width(H: int, R: int) -> int:
+    """Reads processed per device step: small (junction) buckets batch
+    several reads wide to fill the VPU; large buckets go sequential to
+    bound live-buffer memory (each read holds a few H x W planes)."""
+    cells = H * R
+    if cells <= 1 << 20:
+        return 8
+    if cells <= 1 << 22:
+        return 4
+    if cells <= 1 << 24:
+        return 2
+    return 1
+
+
 @functools.partial(jax.jit, static_argnames=("H", "R", "scorer"))
 def fused_batch(hap, reads, rcs, rlens, ms, k_idx, H: int, R: int,
                 scorer: str):
-    def f(args):
-        read, rc, rlen, m = args
+    B = reads.shape[0]
+    width = min(_vmap_width(H, R), B)
+    pad = (-B) % width
+    if pad:
+        reads = jnp.pad(reads, ((0, pad), (0, 0)),
+                        constant_values=READ_PAD)
+        rcs = jnp.pad(rcs, ((0, pad), (0, 0)), constant_values=READ_PAD)
+        rlens = jnp.pad(rlens, (0, pad), constant_values=1)
+        ms = jnp.pad(ms, (0, pad))
+    n_chunks = reads.shape[0] // width
+
+    def one(read, rc, rlen, m):
         return _fused_one(hap, read, rc, rlen, m, k_idx, H, R, scorer)
-    return lax.map(f, (reads, rcs, rlens, ms))
+
+    def chunk(args):
+        return jax.vmap(one)(*args)
+
+    out = lax.map(chunk, (reads.reshape(n_chunks, width, -1),
+                          rcs.reshape(n_chunks, width, -1),
+                          rlens.reshape(n_chunks, width),
+                          ms.reshape(n_chunks, width)))
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((n_chunks * width,) + x.shape[2:])[:B], out)
 
 
 # ---------------------------------------------------------------------------
