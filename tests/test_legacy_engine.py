@@ -85,3 +85,43 @@ def test_two_dimension_cluster(ref_mod):
     dim1 = [rng.randint(0, 300) for _ in range(120)]
     assert legacy.one_dimension_cluster_by_gap(dim1, 20, 5) == \
         ref_mod.one_dimention_cluster_by_gap(dim1, 20, 5)
+
+
+def test_inventory_stragglers(ref_mod):
+    rng = random.Random(12)
+    dots = sorted(_dots(rng, 120, spread=900))
+    dim1 = [d[1] - d[0] for d in dots]
+    dim2 = [d[1] + d[0] for d in dots]
+    assert legacy.two_dimension_cluster_by_gap(dim1, dim2, 30, 4) == \
+        ref_mod.two_dimention_cluster_by_gap(dim1, dim2, 30, 4)
+    tup_dots = [tuple(d) for d in dots]
+    assert legacy.take_off_symmetric_dots(tup_dots) == \
+        ref_mod.take_off_symmetric_dots(tup_dots)
+    assert legacy.quality_filter(dots) == ref_mod.quality(dots)
+    sv_info = ["chr1", 114103333, 114103408, "chr1", 114111746]
+    for alt in (["a", "b", "a^"], ["a", "a^"]):
+        assert legacy.dup_inv_ref_alt_bps(sv_info, 75, alt) == \
+            ref_mod.dup_inv_ref_alt_bps_produce(list(sv_info), 75, alt)
+        assert legacy.dup_inv_dup_bps(sv_info, 75, alt) == \
+            ref_mod.dup_inv_dup_bps_produce(list(sv_info), 75, alt)
+
+
+def test_directed_scorer(ref_mod):
+    import random as _r
+    from vapor_tpu.engine import oracle
+    rng = _r.Random(44)
+    body = "".join(rng.choice("ACGT") for _ in range(140))
+    left = "".join(rng.choice("ACGT") for _ in range(110))
+    right = "".join(rng.choice("ACGT") for _ in range(110))
+    ref_hap = left + body + right
+    alt_hap = left + body + body + right
+    checked = 0
+    for i in range(4):
+        donor = alt_hap if i % 2 == 0 else ref_hap
+        read = "".join(c for c in donor if rng.random() > 0.04)
+        e = ref_mod.calcu_vapor_single_read_score_directed_dis_m1b(
+            ref_hap, alt_hap, [read, 0, "r"], 10)
+        g = oracle.score_directed_m1b(ref_hap, alt_hap, read, 0, 10)
+        assert [float(x) for x in g] == [float(x) for x in e]
+        checked += e != [0, 0]
+    assert checked >= 1

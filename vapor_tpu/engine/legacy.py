@@ -209,3 +209,69 @@ def write_ref_alt_dotdata(stem: str, ref_dots: Sequence,
     with open(stem + ".alt", "w") as fo:
         for d in alt_dots:
             fo.write("\t".join(str(v) for v in d) + "\n")
+
+
+def two_dimension_cluster_by_gap(dim1: Sequence[int],
+                                 dim2: Sequence[int], gap: int,
+                                 min_len: int) -> List[List[int]]:
+    """Two-pass 1-D gap clustering (pyx:1472-1481)."""
+    first = one_dimension_cluster_by_gap(dim1, gap, min_len)
+    out: List[List[int]] = []
+    for grp in first:
+        out += one_dimension_cluster_by_gap([dim2[i] for i in grp],
+                                            gap, min_len)
+    return out
+
+
+def take_off_symmetric_dots(dots: Sequence) -> List:
+    """Drop mirror-symmetric dot pairs (pyx:1458-1470, legacy)."""
+    half = len(dots) // 2
+    left = [dots[i] for i in range(half)]
+    right = [dots[len(dots) - 1 - i][::-1] for i in range(half)]
+    left_dev = [d for d in left if eu_dis_single_dot(d) > 0.15]
+    right_dev = [d for d in right if eu_dis_single_dot(d) > 0.15]
+    sym = []
+    for a in left_dev:
+        for b in right_dev:
+            if abs(a[0] - b[0]) < 6 and abs(a[1] - b[1]) < 6:
+                sym.append(a)
+                sym.append(b[::-1])
+    return [d for d in dots if d not in sym]
+
+
+def quality_filter(hits: Sequence) -> List:
+    """Hard-coded slope band filter of the legacy figure path
+    (pyx:1027-1039)."""
+    slope1 = 1.0e6 / (825000 - 48000)
+    slope2 = 1.0e6 / (914000 - 141000)
+    offset1 = 0 - slope1 * 48000
+    offset2 = 0 - slope2 * 141000
+    return [h for h in hits
+            if slope2 * h[0] + offset2 < h[1] < slope1 * h[0] + offset1]
+
+
+def dup_inv_ref_alt_bps(sv_info: Sequence, flank_length: int,
+                        alt_structure: Sequence[str]) -> List[List[int]]:
+    """Breakpoint ladders of the DUP_INV ref/alt haplotypes
+    (pyx:527-535, unused by the live validator but inventoried)."""
+    bp_info = sorted(list(sv_info[1:3]) + [sv_info[4]])
+    from ..grammar.letters import bp_to_block_len
+    block_len = bp_to_block_len([sv_info[0]] + bp_info)
+    ref_bps = [bp_info[0] - flank_length] + bp_info + \
+        [bp_info[-1] + flank_length]
+    alt_bps = ref_bps[:2]
+    for unit in alt_structure:
+        alt_bps.append(alt_bps[-1] + block_len[unit[0]])
+    alt_bps.append(alt_bps[-1] + flank_length)
+    return [ref_bps, alt_bps]
+
+
+def dup_inv_dup_bps(sv_info: Sequence, flank_length: int,
+                    alt_structure: Sequence[str]) -> List[List[int]]:
+    """Duplicated-block coordinate pairs on the ALT (pyx:537-543)."""
+    ref_bps, alt_bps = dup_inv_ref_alt_bps(sv_info, flank_length,
+                                           alt_structure)
+    rel = [b - alt_bps[0] for b in alt_bps]
+    if len(alt_structure) == 2:
+        return [rel[1:3], rel[2:4]]
+    return [rel[1:3], rel[3:5]]
