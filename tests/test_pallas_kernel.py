@@ -47,14 +47,13 @@ def test_pallas_hist_matches_fused(k):
     from vapor_tpu.engine.fused import fused_batch
     import jax.numpy as jnp
     fw, rc, rlens, ms = enc
-    h_d, h_a, scalars, _ = fused_batch(
+    h_d, h_a, packed = fused_batch(
         jnp.asarray(hap_codes), jnp.asarray(fw), jnp.asarray(rc),
         jnp.asarray(rlens), jnp.asarray(ms),
-        jnp.int32(k // 10 - 1), H=H, R=R, scorer="hist_only"
-        if False else "m1b")
+        jnp.int32(k // 10 - 1), H=H, R=R, scorer="m1b")
     h_d = np.asarray(h_d)
     h_a = np.asarray(h_a)
-    s = np.asarray(scalars, dtype=np.int64)
+    s = np.asarray(packed, dtype=np.int64)[:, :6]
     n_dots = (s[:, 0] << 16) + s[:, 1] + (s[:, 2] << 16) + s[:, 3]
 
     p_hd, p_ha, p_n = pallas_hist(hap_codes, fw, rc, rlens, ms, k,

@@ -7,8 +7,11 @@ Differences from engine.kernel (v1):
   k in {10,20,30,40}), and the reverse-complement side is flipped back
   into dot coordinates so both sides share every downstream stage;
 * diagonal / anti-diagonal histograms use a **hierarchical skew-reduce**
-  (radix-8 roll-and-sum pyramid, ~4.5 passes instead of the reshape
-  trick that lowers badly on TPU);
+  (radix-2 pairwise pad-shift-add pyramid whose buffer width grows only
+  as the accumulated shift grows, with an int8/int16/int32 dtype ladder
+  — total HBM traffic ~2 passes over the hit matrix, vs ~25 int32
+  passes for a fixed-width roll pyramid and vs the reshape trick that
+  lowers badly on TPU);
 * **gap clustering runs on device** (exact integer 1-D ops), so cluster
   keep-tables never round-trip to the host;
 * keep masks come back to normal space via the reverse pyramid
@@ -42,7 +45,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def hist_width(H: int, R: int) -> int:
-    return _round_up(H + R + RADIX ** 4, 128)
+    # widest index written: col_offset=H plus j-i up to R-1 -> H+R-1
+    return _round_up(H + R + 2, 128)
 
 
 # ---------------------------------------------------------------------------
@@ -104,56 +108,98 @@ def _flip_to_dot_space(Kq: jnp.ndarray, rlen: jnp.ndarray,
 # hierarchical skew-reduce / unskew-broadcast
 # ---------------------------------------------------------------------------
 
-def skew_reduce(K: jnp.ndarray, W: int, sign: int,
-                col_offset: int) -> jnp.ndarray:
-    """Histogram over c = col_offset + j + sign*i of a (H, R) 0/1 matrix.
+def _merge_dtype(block: int, per_cell: int):
+    """Narrowest signed int that holds `per_cell * block` exactly."""
+    bound = per_cell * block
+    if bound <= 127:
+        return jnp.int8
+    if bound <= 32767:
+        return jnp.int16
+    return jnp.int32
 
-    Radix-8 pyramid: place K in a width-W buffer, then repeatedly group
-    8 rows, roll sub-row r by sign*r*stride, and sum the group.
+
+def skew_reduce(K: jnp.ndarray, W: int, sign: int, col_offset: int,
+                per_cell: int = 2) -> jnp.ndarray:
+    """Histogram over c = col_offset + j + sign*i of a (H, R) matrix
+    whose cells are bounded by `per_cell`.
+
+    Radix-2 pyramid: repeatedly merge row pairs, shifting the second
+    row of each pair by the accumulated block size s via pad-and-add.
+    The buffer widens only as s grows (R+1, R+3, ... R+S-1), and the
+    accumulator dtype widens with the value bound, so total HBM traffic
+    is ~2x the int8 hit matrix instead of log(H) passes over a fixed
+    (H, W) int32 buffer.
+
+    Invariant (sign=-1): after merging blocks of size s, row t holds
+    X[t, c] = sum of K[i, j] over i in block t with c = j - (i - i0)
+    + (s - 1); for sign=+1, c = j + (i - i0).  Padded rows are zero, so
+    the final single row is the exact histogram with a known offset.
     """
     H, R = K.shape
-    X = jnp.zeros((H, W), jnp.int32).at[:, col_offset:col_offset + R].set(
-        K.astype(jnp.int32))
-    stride = 1
+    X = K if K.dtype == jnp.int8 else K.astype(jnp.int8)
+    s = 1
     while X.shape[0] > 1:
         rows = X.shape[0]
-        g = min(RADIX, rows)
-        pad_rows = _round_up(rows, g) - rows
-        if pad_rows:
-            X = jnp.pad(X, ((0, pad_rows), (0, 0)))
-        X = X.reshape(-1, g, W)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (1, g, 1), 1)
-        for bit in (1, 2, 4):
-            if bit >= g:
-                break
-            rolled = jnp.roll(X, sign * bit * stride, axis=2)
-            X = jnp.where((sub & bit) > 0, rolled, X)
-        X = X.sum(axis=1)
-        stride *= g
-    return X[0]
+        if rows % 2:
+            X = jnp.pad(X, ((0, 1), (0, 0)))
+        A = X[0::2]
+        B = X[1::2]
+        dt = _merge_dtype(2 * s, per_cell)
+        A = A.astype(dt)
+        B = B.astype(dt)
+        if sign > 0:
+            # second half shifts right by s
+            X = jnp.pad(A, ((0, 0), (0, s))) + jnp.pad(B, ((0, 0), (s, 0)))
+        else:
+            # first half shifts right by s (c = j - i + s - 1 grows)
+            X = jnp.pad(A, ((0, 0), (s, 0))) + jnp.pad(B, ((0, 0), (0, s)))
+        s *= 2
+    row = X[0].astype(jnp.int32)   # width R + s - 1
+    out = jnp.zeros((W,), jnp.int32)
+    if sign > 0:
+        # row[c] = hist at value c: place at col_offset
+        return lax.dynamic_update_slice(
+            out, row[: W - col_offset], (col_offset,))
+    # row[c] = hist at value c - (s - 1): nonzero only for
+    # c >= s - H (since i <= H-1), i.e. value >= -(H-1)
+    lo = s - H                     # first cell worth keeping
+    seg = row[lo: lo + min(H + R - 1, W - (col_offset - H + 1))]
+    return lax.dynamic_update_slice(out, seg, (col_offset - H + 1,))
 
 
 def unskew_broadcast(table: jnp.ndarray, H: int, sign: int,
                      col_offset: int, R: int) -> jnp.ndarray:
-    """Mat[i, j] = table[col_offset + j + sign*i] — reverse pyramid."""
+    """Mat[i, j] = table[col_offset + j + sign*i] — top-down radix-2
+    splitting.  Each level doubles the rows and halves the covered
+    i-span; the slice width shrinks toward R, so total traffic is ~2x
+    the (H, R) output in the table's dtype (use bool tables!)."""
     W = table.shape[0]
-    levels = []
-    n = 1
-    while n < H:
-        n *= RADIX
-        levels.append(n)
-    X = table[None, :]
-    stride = n // RADIX if levels else 1
-    for _ in levels:
-        rows = X.shape[0]
-        X = jnp.broadcast_to(X[:, None, :], (rows, RADIX, W))
-        sub = jax.lax.broadcasted_iota(jnp.int32, (1, RADIX, 1), 1)
-        for bit in (1, 2, 4):
-            rolled = jnp.roll(X, -sign * bit * stride, axis=2)
-            X = jnp.where((sub & bit) > 0, rolled, X)
-        X = X.reshape(rows * RADIX, W)
-        stride //= RADIX
-    return X[:H, col_offset:col_offset + R]
+    S = 1
+    while S < H:
+        S *= 2
+    # pad so every slice below is in range
+    tp = jnp.concatenate([jnp.zeros((S,), table.dtype), table,
+                          jnp.zeros((2 * S,), table.dtype)])
+    if sign > 0:
+        # level-0 row covers i in [0, S): indices [off, off + R+S-1)
+        Y = tp[None, S + col_offset: S + col_offset + R + S - 1]
+    else:
+        # Y[t, c] = table[off - (t+1)s + 1 + c]
+        Y = tp[None, S + col_offset - S + 1:
+               S + col_offset - S + 1 + R + S - 1]
+    s = S
+    while s > 1:
+        sp = s // 2
+        Wn = R + sp - 1
+        if sign > 0:
+            c0 = Y[:, :Wn]
+            c1 = Y[:, sp: sp + Wn]
+        else:
+            c0 = Y[:, sp: sp + Wn]
+            c1 = Y[:, :Wn]
+        Y = jnp.stack([c0, c1], axis=1).reshape(-1, Wn)
+        s = sp
+    return Y[:H]
 
 
 # ---------------------------------------------------------------------------
@@ -412,8 +458,12 @@ def fused_batch(hap, reads, rcs, rlens, ms, k_idx, H: int, R: int,
                           rcs.reshape(n_chunks, width, -1),
                           rlens.reshape(n_chunks, width),
                           ms.reshape(n_chunks, width)))
-    return jax.tree_util.tree_map(
+    h_d, h_a, scalars, mom = jax.tree_util.tree_map(
         lambda x: x.reshape((n_chunks * width,) + x.shape[2:])[:B], out)
+    # one packed int32 row per read: a single small device->host fetch
+    # (the histograms stay on device — the ~30 MB/s relay link made
+    # fetching them the round-1 bottleneck)
+    return h_d, h_a, jnp.concatenate([scalars, mom], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -421,17 +471,21 @@ def fused_batch(hap, reads, rcs, rlens, ms, k_idx, H: int, R: int,
 # ---------------------------------------------------------------------------
 
 class FusedStats:
-    """Exact-integer host view of one fused batch."""
+    """Exact-integer host view of one fused batch.
 
-    def __init__(self, h_d, h_a, scalars, mom):
-        self.h_d = np.asarray(h_d)
-        self.h_a = np.asarray(h_a)
-        s = np.asarray(scalars, dtype=np.int64)
+    Only the packed per-read stats row crosses the device->host link
+    (one transfer); the bucket histograms stay device-side.
+    """
+
+    def __init__(self, h_d, h_a, packed):
+        self._h_d_dev = h_d
+        self._h_a_dev = h_a
+        p = np.asarray(packed, dtype=np.int64)
+        s, m = p[:, :6], p[:, 6:]
         self.n_dots = ((s[:, 0] << 16) + s[:, 1] +
                        (s[:, 2] << 16) + s[:, 3])
         self.i_min = s[:, 4]
         self.i_max = s[:, 5]
-        m = np.asarray(mom, dtype=np.int64)
         self.cnt = (m[:, 0] << 16) + m[:, 1]
         self.sum_absd = (m[:, 2] << 16) + m[:, 3]
         self.w10 = (m[:, 4] << 16) + m[:, 5]
@@ -441,6 +495,14 @@ class FusedStats:
         self.sel_cnt = (m[:, 6] << 16) + m[:, 7]
         self.sel_pos = (m[:, 8] << 16) + (m[:, 9] << 16) + m[:, 10]
         self.sel_neg = (m[:, 11] << 16) + (m[:, 12] << 16) + m[:, 13]
+
+    @property
+    def h_d(self):
+        return np.asarray(self._h_d_dev)
+
+    @property
+    def h_a(self):
+        return np.asarray(self._h_a_dev)
 
     def span(self, b: int) -> int:
         if self.n_dots[b] == 0:
