@@ -123,46 +123,47 @@ def skew_reduce(K: jnp.ndarray, W: int, sign: int, col_offset: int,
     """Histogram over c = col_offset + j + sign*i of a (H, R) matrix
     whose cells are bounded by `per_cell`.
 
-    Radix-2 pyramid: repeatedly merge row pairs, shifting the second
-    row of each pair by the accumulated block size s via pad-and-add.
-    The buffer widens only as s grows (R+1, R+3, ... R+S-1), and the
-    accumulator dtype widens with the value bound, so total HBM traffic
-    is ~2x the int8 hit matrix instead of log(H) passes over a fixed
-    (H, W) int32 buffer.
+    Radix-2 contiguous-halves pyramid: merge the top and bottom row
+    halves with a relative pad-shift of n/2 columns.  The buffer widens
+    only as shifts accumulate and the accumulator dtype widens with the
+    value bound, so total HBM traffic is ~2-4x the int8 hit matrix
+    instead of log(H) passes over a fixed (H, W) int32 buffer.
+    (Contiguous halves beat interleaved even/odd pairing ~2x on v5e —
+    strided row slices lower poorly.)
 
-    Invariant (sign=-1): after merging blocks of size s, row t holds
-    X[t, c] = sum of K[i, j] over i in block t with c = j - (i - i0)
-    + (s - 1); for sign=+1, c = j + (i - i0).  Padded rows are zero, so
-    the final single row is the exact histogram with a known offset.
+    Invariant: after reducing to n rows with accumulated left pad p,
+    X[r, c] = sum over rows a = r (mod n) of K[a, j] with
+    c = j + sign*(a - r) + p  (p grows only for sign=-1).
     """
     H, R = K.shape
     X = K if K.dtype == jnp.int8 else K.astype(jnp.int8)
-    s = 1
+    p = 0
+    merged = 1
     while X.shape[0] > 1:
         rows = X.shape[0]
         if rows % 2:
             X = jnp.pad(X, ((0, 1), (0, 0)))
-        A = X[0::2]
-        B = X[1::2]
-        dt = _merge_dtype(2 * s, per_cell)
+        n2 = X.shape[0] // 2
+        A, B = X[:n2], X[n2:]
+        merged *= 2
+        dt = _merge_dtype(merged, per_cell)
         A = A.astype(dt)
         B = B.astype(dt)
         if sign > 0:
-            # second half shifts right by s
-            X = jnp.pad(A, ((0, 0), (0, s))) + jnp.pad(B, ((0, 0), (s, 0)))
+            # bottom half (larger a) shifts right by n2
+            X = jnp.pad(A, ((0, 0), (0, n2))) + jnp.pad(B, ((0, 0), (n2, 0)))
         else:
-            # first half shifts right by s (c = j - i + s - 1 grows)
-            X = jnp.pad(A, ((0, 0), (s, 0))) + jnp.pad(B, ((0, 0), (0, s)))
-        s *= 2
-    row = X[0].astype(jnp.int32)   # width R + s - 1
+            # top half shifts right by n2: c = j - (a - r) + p grows
+            X = jnp.pad(A, ((0, 0), (n2, 0))) + jnp.pad(B, ((0, 0), (0, n2)))
+            p += n2
+    row = X[0].astype(jnp.int32)
     out = jnp.zeros((W,), jnp.int32)
     if sign > 0:
         # row[c] = hist at value c: place at col_offset
         return lax.dynamic_update_slice(
             out, row[: W - col_offset], (col_offset,))
-    # row[c] = hist at value c - (s - 1): nonzero only for
-    # c >= s - H (since i <= H-1), i.e. value >= -(H-1)
-    lo = s - H                     # first cell worth keeping
+    # row[c] = hist at value c - p; values >= -(H-1) start at c = p-(H-1)
+    lo = p - (H - 1)
     seg = row[lo: lo + min(H + R - 1, W - (col_offset - H + 1))]
     return lax.dynamic_update_slice(out, seg, (col_offset - H + 1,))
 
