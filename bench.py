@@ -72,18 +72,22 @@ def make_worklist(seed=1234):
     return events
 
 
-def bench_ours(events, repeats=3, backend="jax", jobs=6):
-    """Scores the worklist through the framework's pipelined event
-    path (the CLI's --pipeline N): per-event scoring overlapped across
-    threads so device fetches hide each other's relay latency."""
-    from concurrent.futures import ThreadPoolExecutor
+def bench_ours(events, repeats=3, backend="jax",
+               jobs=int(os.environ.get("BENCH_JOBS", "0"))):
+    """Scores the worklist through the framework's async scoring API:
+    all events' device work is dispatched from one thread, then
+    finished in order.  Single-thread async pipelining beats thread
+    pools on a relay-attached TPU (result fetches hold the GIL for
+    the whole RPC).  Set BENCH_JOBS>0 to use the threaded --pipeline
+    path instead."""
     from vapor_tpu.engine.scoring import get_backend
     be = get_backend(backend)
-    # warmup / compile every bucket in the worklist
+    # warmup / compile every bucket in the worklist at full batch size
     for ref_hap, alt_hap, reads in events:
-        be.score_batch("abs_dis_m1b", ref_hap, alt_hap, reads[:1], WINDOW)
+        be.score_batch("abs_dis_m1b", ref_hap, alt_hap, reads, WINDOW)
     best = float("inf")
     n_reads = sum(len(e[2]) for e in events)
+    use_async = jobs == 0 and hasattr(be, "score_batch_async")
 
     def one(ev):
         ref_hap, alt_hap, reads = ev
@@ -92,10 +96,17 @@ def bench_ours(events, repeats=3, backend="jax", jobs=6):
 
     for _ in range(repeats):
         t0 = time.perf_counter()
-        if jobs <= 1:
+        if use_async:
+            pend = [be.score_batch_async("abs_dis_m1b", e[0], e[1],
+                                         e[2], WINDOW)
+                    for e in events]
+            for fin in pend:
+                fin()
+        elif jobs <= 1:
             for ev in events:
                 one(ev)
         else:
+            from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=jobs) as pool:
                 list(pool.map(one, events))
         best = min(best, time.perf_counter() - t0)

@@ -39,7 +39,7 @@ def probe(H, R, B):
 
     # full fused m1b
     t_full = timeit(functools.partial(fused.fused_batch, H=H, R=R, scorer="m1b"),
-                    hap, reads, rcs, rlens, ms, k_idx)
+                    jnp.broadcast_to(hap, (reads.shape[0], H)), reads, rcs, rlens, ms, k_idx)
 
     width = min(fused._vmap_width(H, R), B)
 

@@ -73,7 +73,7 @@ def probe(H, R, B, width):
     t_u = bench_fn(chunked(stage_unskew), args)
     t_f = bench_fn(functools.partial(fused.fused_batch, H=H, R=R,
                                      scorer="m1b"),
-                   (hap, reads, rcs, rlens, ms, k_idx))
+                   (jnp.broadcast_to(hap, (reads.shape[0], H)), reads, rcs, rlens, ms, k_idx))
     print(f"H={H:5d} R={R:5d} B={B} w={width}: hits={t_h*1e3:6.1f} "
           f"+skew={t_s*1e3:6.1f} +clu/unskew={t_u*1e3:6.1f} "
           f"full_m1b={t_f*1e3:6.1f} ms  ({B/t_f:6.0f} reads/s/hap)")

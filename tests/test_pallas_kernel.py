@@ -47,10 +47,12 @@ def test_pallas_hist_matches_fused(k):
     from vapor_tpu.engine.fused import fused_batch
     import jax.numpy as jnp
     fw, rc, rlens, ms = enc
+    haps = np.broadcast_to(hap_codes, (fw.shape[0], H))
     h_d, h_a, packed = fused_batch(
-        jnp.asarray(hap_codes), jnp.asarray(fw), jnp.asarray(rc),
+        jnp.asarray(haps), jnp.asarray(fw), jnp.asarray(rc),
         jnp.asarray(rlens), jnp.asarray(ms),
-        jnp.int32(k // 10 - 1), H=H, R=R, scorer="m1b")
+        jnp.int32(k // 10 - 1), H=H, R=R, scorer="m1b",
+        want_hists=True)
     h_d = np.asarray(h_d)
     h_a = np.asarray(h_a)
     s = np.asarray(packed, dtype=np.int64)[:, :6]

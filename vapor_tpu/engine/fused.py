@@ -305,42 +305,44 @@ def intercept_z_device(h: jnp.ndarray, col_offset: int) -> jnp.ndarray:
 # fused per-(read, hap) statistics
 # ---------------------------------------------------------------------------
 
-def _moment_block(Kf, Kr, keep, ip, d_f, d_r, z, want_w10, want_sel):
+def _moment_block(Ksum, keep, ip, d, z, want_w10, want_sel):
+    """Moment sums over the masked dot matrix.  Both strands share
+    every weight (d is the same for forward and flipped-reverse dots),
+    and the per-strand sums are added in the packed row anyway, so one
+    pass over Ksum = Kf + Kr replaces two passes over the strands —
+    each cell contributes its multiplicity in {0, 1, 2}."""
     zero = jnp.int32(0)
-    outs = []
-    for K, d in ((Kf, d_f), (Kr, d_r)):
-        M = (K & keep).astype(jnp.int32)
-        absd = jnp.abs(d)
-        cnt = _split_sum(M.sum(axis=0))
-        sd = _split_sum((M * absd).sum(axis=0))
-        if want_w10:
-            w10 = _split_sum((M * ((ip > 0) & (25 * absd < 4 * ip))
-                              ).sum(axis=0))
-        else:
-            w10 = (zero, zero)
-        if want_sel:
-            num = jnp.abs(z - 2 * d)
-            den = jnp.abs(2 * ip + z)
-            den = jnp.where(2 * ip + z == 0,
-                            jnp.abs(2 * ip + z + 2), den)
-            sel = M * (10 * num > den)
-            sel_cnt = _split_sum(sel.sum(axis=0))
-            val = z - 2 * d
-            pv = jnp.maximum(val, 0)
-            nv = jnp.maximum(-val, 0)
-            pos_hi = (sel * (pv >> 16)).sum()
-            pos_lo = _split_sum((sel * (pv & 0xFFFF)).sum(axis=0))
-            neg_hi = (sel * (nv >> 16)).sum()
-            neg_lo = _split_sum((sel * (nv & 0xFFFF)).sum(axis=0))
-        else:
-            sel_cnt = (zero, zero)
-            pos_hi, pos_lo = zero, (zero, zero)
-            neg_hi, neg_lo = zero, (zero, zero)
-        outs.append(jnp.stack([
-            cnt[0], cnt[1], sd[0], sd[1], w10[0], w10[1],
-            sel_cnt[0], sel_cnt[1], pos_hi, pos_lo[0], pos_lo[1],
-            neg_hi, neg_lo[0], neg_lo[1]]))
-    return outs[0] + outs[1]
+    M = jnp.where(keep, Ksum, 0).astype(jnp.int32)
+    absd = jnp.abs(d)
+    cnt = _split_sum(M.sum(axis=0))
+    sd = _split_sum((M * absd).sum(axis=0))
+    if want_w10:
+        w10 = _split_sum((M * ((ip > 0) & (25 * absd < 4 * ip))
+                          ).sum(axis=0))
+    else:
+        w10 = (zero, zero)
+    if want_sel:
+        num = jnp.abs(z - 2 * d)
+        den = jnp.abs(2 * ip + z)
+        den = jnp.where(2 * ip + z == 0,
+                        jnp.abs(2 * ip + z + 2), den)
+        sel = M * (10 * num > den)
+        sel_cnt = _split_sum(sel.sum(axis=0))
+        val = z - 2 * d
+        pv = jnp.maximum(val, 0)
+        nv = jnp.maximum(-val, 0)
+        pos_hi = (sel * (pv >> 16)).sum()
+        pos_lo = _split_sum((sel * (pv & 0xFFFF)).sum(axis=0))
+        neg_hi = (sel * (nv >> 16)).sum()
+        neg_lo = _split_sum((sel * (nv & 0xFFFF)).sum(axis=0))
+    else:
+        sel_cnt = (zero, zero)
+        pos_hi, pos_lo = zero, (zero, zero)
+        neg_hi, neg_lo = zero, (zero, zero)
+    return jnp.stack([
+        cnt[0], cnt[1], sd[0], sd[1], w10[0], w10[1],
+        sel_cnt[0], sel_cnt[1], pos_hi, pos_lo[0], pos_lo[1],
+        neg_hi, neg_lo[0], neg_lo[1]])
 
 
 def _fused_one(hap, read, rc, rlen, m, k_idx, H: int, R: int,
@@ -388,9 +390,9 @@ def _fused_one(hap, read, rc, rlen, m, k_idx, H: int, R: int,
         ka50 = kept_table_device(h_a_left, 10, 50, True)
         keep_w10 = (~not_kept) | unskew_broadcast(ka50, H, +1, 0, R)
         mom = jnp.concatenate([
-            _moment_block(Kf, Kr, keep_m1b, ip, d, d, z,
+            _moment_block(Ksum, keep_m1b, ip, d, z,
                           want_w10=False, want_sel=False),
-            _moment_block(Kf, Kr, keep_w10, ip, d, d, z,
+            _moment_block(Ksum, keep_w10, ip, d, z,
                           want_w10=True, want_sel=False)])
         return h_d, h_a, scalars, mom
     if scorer in ("m1b", "rdd"):
@@ -415,33 +417,40 @@ def _fused_one(hap, read, rc, rlen, m, k_idx, H: int, R: int,
     else:
         keep = jnp.ones((H, R), jnp.bool_)
 
-    mom = _moment_block(Kf, Kr, keep, ip, d, d, z,
+    mom = _moment_block(Ksum, keep, ip, d, z,
                         want_w10=(scorer == "w10"),
                         want_sel=(scorer == "rdd"))
     return h_d, h_a, scalars, mom
 
 
 def _vmap_width(H: int, R: int) -> int:
-    """Reads processed per device step: small (junction) buckets batch
-    several reads wide to fill the VPU; large buckets go sequential to
-    bound live-buffer memory (each read holds a few H x W planes)."""
-    cells = H * R
-    if cells <= 1 << 20:
-        return 8
-    if cells <= 1 << 22:
-        return 4
-    if cells <= 1 << 24:
-        return 2
-    return 1
+    """Reads processed per device step.  Measured on v5e (full m1b
+    pipeline, realistic dot density): width 8 wins at every bucket
+    from 1024 to 8192 — narrower chunks underfill the VPU (w2 is 2.6x
+    slower at 3072) and wider ones don't help."""
+    return 8
 
 
-@functools.partial(jax.jit, static_argnames=("H", "R", "scorer"))
-def fused_batch(hap, reads, rcs, rlens, ms, k_idx, H: int, R: int,
-                scorer: str):
+@functools.partial(jax.jit, static_argnames=("H", "R", "scorer",
+                                             "want_hists"))
+def fused_batch(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
+                scorer: str, want_hists: bool = False):
+    """haps is (B, H): each work row carries its own haplotype, so one
+    device call can span several events (cross-event batching).  k_idx
+    stays a scalar — vmapping it would make the window lax.switch
+    execute all four branches per read.
+
+    want_hists=False drops the per-read (B, W) bucket histograms from
+    the outputs: materializing them costs ~4x the whole scoring
+    pipeline (measured v5e: 0.71 -> 2.77 ms/row at H=R=3072 — the
+    vmapped dynamic_update_slice placements can't stay fused once they
+    become kernel outputs), and no scoring path reads them."""
     B = reads.shape[0]
     width = min(_vmap_width(H, R), B)
     pad = (-B) % width
     if pad:
+        haps = jnp.pad(haps, ((0, pad), (0, 0)),
+                       constant_values=HAP_PAD)
         reads = jnp.pad(reads, ((0, pad), (0, 0)),
                         constant_values=READ_PAD)
         rcs = jnp.pad(rcs, ((0, pad), (0, 0)), constant_values=READ_PAD)
@@ -449,18 +458,28 @@ def fused_batch(hap, reads, rcs, rlens, ms, k_idx, H: int, R: int,
         ms = jnp.pad(ms, (0, pad))
     n_chunks = reads.shape[0] // width
 
-    def one(read, rc, rlen, m):
-        return _fused_one(hap, read, rc, rlen, m, k_idx, H, R, scorer)
+    def one(hap, read, rc, rlen, m):
+        h_d, h_a, scalars, mom = _fused_one(hap, read, rc, rlen, m,
+                                            k_idx, H, R, scorer)
+        if not want_hists:
+            return scalars, mom
+        return h_d, h_a, scalars, mom
 
     def chunk(args):
         return jax.vmap(one)(*args)
 
-    out = lax.map(chunk, (reads.reshape(n_chunks, width, -1),
+    out = lax.map(chunk, (haps.reshape(n_chunks, width, -1),
+                          reads.reshape(n_chunks, width, -1),
                           rcs.reshape(n_chunks, width, -1),
                           rlens.reshape(n_chunks, width),
                           ms.reshape(n_chunks, width)))
-    h_d, h_a, scalars, mom = jax.tree_util.tree_map(
+    out = jax.tree_util.tree_map(
         lambda x: x.reshape((n_chunks * width,) + x.shape[2:])[:B], out)
+    if not want_hists:
+        scalars, mom = out
+        h_d = h_a = None
+    else:
+        h_d, h_a, scalars, mom = out
     # one packed int32 row per read: a single small device->host fetch
     # (the histograms stay on device — the ~30 MB/s relay link made
     # fetching them the round-1 bottleneck)
@@ -499,16 +518,30 @@ class FusedStats:
 
     @property
     def h_d(self):
-        return np.asarray(self._h_d_dev)
+        return None if self._h_d_dev is None else \
+            np.asarray(self._h_d_dev)
 
     @property
     def h_a(self):
-        return np.asarray(self._h_a_dev)
+        return None if self._h_a_dev is None else \
+            np.asarray(self._h_a_dev)
 
     def span(self, b: int) -> int:
         if self.n_dots[b] == 0:
             return 0
         return int(self.i_max[b] - self.i_min[b])
+
+
+class _Ready:
+    """Trivial already-resolved future (single-call dispatch path)."""
+
+    __slots__ = ("_v",)
+
+    def __init__(self, v):
+        self._v = v
+
+    def result(self):
+        return self._v
 
 
 class FusedBackend:
@@ -539,49 +572,73 @@ class FusedBackend:
     def _dispatch(self, hap_codes, enc, window, H, R, scorer):
         """Launch the device computation without blocking (async)."""
         fw, rc, rlens, ms = enc
-        return fused_batch(jnp.asarray(hap_codes), jnp.asarray(fw),
+        haps = np.broadcast_to(hap_codes, (fw.shape[0], H))
+        return fused_batch(jnp.asarray(haps), jnp.asarray(fw),
                            jnp.asarray(rc), jnp.asarray(rlens),
                            jnp.asarray(ms), jnp.int32(window // 10 - 1),
                            H=H, R=R, scorer=scorer)
 
-    def _run(self, hap_codes, enc, window, H, R, scorer) -> FusedStats:
-        return FusedStats(*self._dispatch(hap_codes, enc, window, H, R,
-                                          scorer))
+    def _submit(self, hap_codes, enc, window, H, R, scorer):
+        """Future-like handle for one (hap, reads) stat request.  The
+        base backend resolves immediately (jax dispatch is already
+        async); BatchingBackend overrides this to coalesce requests
+        across events/haplotypes into combined device calls."""
+        return _Ready(self._dispatch(hap_codes, enc, window, H, R,
+                                     scorer))
 
-    def score_del_batch(self, ref_seq: str, alt_seq: str,
-                        reads: Sequence[Sequence], window: int):
-        """Combined DEL scoring: (m1b_scores, w10_scores) from one
-        device call per haplotype instead of two."""
+    def _run(self, hap_codes, enc, window, H, R, scorer) -> FusedStats:
+        return FusedStats(*self._submit(hap_codes, enc, window, H, R,
+                                        scorer).result())
+
+    def score_del_batch_async(self, ref_seq: str, alt_seq: str,
+                              reads: Sequence[Sequence], window: int):
+        """Async combined DEL scoring dispatch; returns a finisher
+        producing (m1b_scores, w10_scores) — one device call per
+        haplotype instead of two."""
         if not reads:
-            return [], []
+            return lambda: ([], [])
         ref_m1b = ref_seq.upper()
         alt_m1b = alt_seq.upper()
         try:
             H = bucket_for(max(len(ref_m1b), len(alt_m1b)) + 1)
             R = bucket_for(max(len(r[0]) for r in reads) + 1)
         except ValueError:
-            return ([oracle.SCORERS["abs_dis_m1b"](
+            out = ([oracle.SCORERS["abs_dis_m1b"](
                         ref_seq, alt_seq, r[0], r[1], window)
-                     for r in reads],
-                    [oracle.SCORERS["within_10perc_m1b"](
+                    for r in reads],
+                   [oracle.SCORERS["within_10perc_m1b"](
                         ref_seq, alt_seq, r[0], r[1], window)
-                     for r in reads])
+                    for r in reads])
+            return lambda: out
         enc = self._encode_reads(reads, R)
         # m1b runs on uppercased haps, within-10% on the raw ones
         # (pyx:183-184 vs 278) — same device mode, different codes
-        d_ref_u = self._dispatch(self._encode_hap(ref_m1b, H), enc,
-                                 window, H, R, "del")
-        d_alt_u = self._dispatch(self._encode_hap(alt_m1b, H), enc,
-                                 window, H, R, "del")
+        d_ref_u = self._submit(self._encode_hap(ref_m1b, H), enc,
+                               window, H, R, "del")
+        d_alt_u = self._submit(self._encode_hap(alt_m1b, H), enc,
+                               window, H, R, "del")
         if ref_seq != ref_m1b or alt_seq != alt_m1b:
-            d_ref_r = self._dispatch(self._encode_hap(ref_seq, H), enc,
-                                     window, H, R, "del")
-            d_alt_r = self._dispatch(self._encode_hap(alt_seq, H), enc,
-                                     window, H, R, "del")
+            d_ref_r = self._submit(self._encode_hap(ref_seq, H), enc,
+                                   window, H, R, "del")
+            d_alt_r = self._submit(self._encode_hap(alt_seq, H), enc,
+                                   window, H, R, "del")
         else:
             d_ref_r, d_alt_r = d_ref_u, d_alt_u
-        su_ref, su_alt = FusedStats(*d_ref_u), FusedStats(*d_alt_u)
-        sr_ref, sr_alt = FusedStats(*d_ref_r), FusedStats(*d_alt_r)
+        return functools.partial(
+            self._finish_del, ref_seq, alt_seq, ref_m1b, alt_m1b,
+            reads, d_ref_u, d_alt_u, d_ref_r, d_alt_r)
+
+    def score_del_batch(self, ref_seq: str, alt_seq: str,
+                        reads: Sequence[Sequence], window: int):
+        return self.score_del_batch_async(ref_seq, alt_seq, reads,
+                                          window)()
+
+    def _finish_del(self, ref_seq, alt_seq, ref_m1b, alt_m1b, reads,
+                    d_ref_u, d_alt_u, d_ref_r, d_alt_r):
+        su_ref = FusedStats(*d_ref_u.result())
+        su_alt = FusedStats(*d_alt_u.result())
+        sr_ref = FusedStats(*d_ref_r.result())
+        sr_alt = FusedStats(*d_alt_r.result())
         m1b, w10 = [], []
         for b in range(len(reads)):
             nr, na = int(su_ref.n_dots[b]), int(su_alt.n_dots[b])
@@ -612,14 +669,20 @@ class FusedBackend:
                 w10.append([0, 0])
         return m1b, w10
 
-    def score_batch(self, scorer: str, ref_seq: str, alt_seq: str,
-                    reads: Sequence[Sequence], window: int
-                    ) -> List[List[float]]:
+    def score_batch_async(self, scorer: str, ref_seq: str,
+                          alt_seq: str, reads: Sequence[Sequence],
+                          window: int):
+        """Dispatch scoring without blocking; returns a zero-arg
+        finisher.  Queue many events' dispatches from one thread, then
+        resolve in order — single-thread async pipelining beats thread
+        pools on the relay link (result fetches hold the GIL for the
+        whole RPC, serializing threaded overlap)."""
         if not reads:
-            return []
+            return lambda: []
         if scorer in ("abs_dis_m1", "abs_dis_m2"):
-            return [oracle.SCORERS[scorer](ref_seq, alt_seq, r[0], r[1],
-                                           window) for r in reads]
+            out = [oracle.SCORERS[scorer](ref_seq, alt_seq, r[0], r[1],
+                                          window) for r in reads]
+            return lambda: out
         upper = scorer == "abs_dis_m1b"
         ref_s = ref_seq.upper() if upper else ref_seq
         alt_s = alt_seq.upper() if upper else alt_seq
@@ -627,19 +690,31 @@ class FusedBackend:
             H = bucket_for(max(len(ref_s), len(alt_s)) + 1)
             R = bucket_for(max(len(r[0]) for r in reads) + 1)
         except ValueError:
-            return [oracle.SCORERS[scorer](ref_seq, alt_seq, r[0], r[1],
-                                           window) for r in reads]
+            out = [oracle.SCORERS[scorer](ref_seq, alt_seq, r[0], r[1],
+                                          window) for r in reads]
+            return lambda: out
         mode = {"abs_dis_m1b": "m1b", "within_10perc_m1b": "w10",
                 "redefine_diagonal": "rdd"}[scorer]
         enc = self._encode_reads(reads, R)
         # dispatch both haplotypes before materializing either (the
         # device overlaps them; np.asarray in FusedStats blocks)
-        d_ref = self._dispatch(self._encode_hap(ref_s, H), enc, window,
-                               H, R, mode)
-        d_alt = self._dispatch(self._encode_hap(alt_s, H), enc, window,
-                               H, R, mode)
-        s_ref = FusedStats(*d_ref)
-        s_alt = FusedStats(*d_alt)
+        d_ref = self._submit(self._encode_hap(ref_s, H), enc, window,
+                             H, R, mode)
+        d_alt = self._submit(self._encode_hap(alt_s, H), enc, window,
+                             H, R, mode)
+        return functools.partial(self._finish_score, mode, ref_s,
+                                 alt_s, reads, d_ref, d_alt)
+
+    def score_batch(self, scorer: str, ref_seq: str, alt_seq: str,
+                    reads: Sequence[Sequence], window: int
+                    ) -> List[List[float]]:
+        return self.score_batch_async(scorer, ref_seq, alt_seq, reads,
+                                      window)()
+
+    def _finish_score(self, mode, ref_s, alt_s, reads, d_ref, d_alt
+                      ) -> List[List[float]]:
+        s_ref = FusedStats(*d_ref.result())
+        s_alt = FusedStats(*d_alt.result())
         out: List[List[float]] = []
         for b in range(len(reads)):
             nr, na = int(s_ref.n_dots[b]), int(s_alt.n_dots[b])

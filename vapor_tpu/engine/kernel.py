@@ -47,7 +47,12 @@ HAP_PAD = 255
 READ_PAD = 253
 KMAX = 40
 
-HAP_BUCKETS = (512, 1024, 2048, 3072, 4096, 6144, 8192, 12544, 16384)
+# step ~1.25-1.5x: padding waste stays under ~50% in cells while the
+# executable count remains small (compiles persist in the XLA disk
+# cache).  Typical whole-event haplotypes (<= 10 kb SV + 2x500 flank,
+# pyx:26) land in 1536-4096; junction mode is 1536-2048.
+HAP_BUCKETS = (512, 768, 1024, 1536, 2048, 2560, 3072, 4096, 5120,
+               6144, 8192, 10240, 12544, 16384)
 
 
 def bucket_for(n: int) -> int:

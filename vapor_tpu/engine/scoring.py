@@ -44,15 +44,19 @@ def get_backend(name: str = "auto"):
     """Resolve the scoring backend: 'numpy', 'jax', or 'auto'."""
     if name == "numpy":
         return NumpyBackend()
-    if name in ("jax", "auto"):
+    if name in ("jax", "auto", "jax-batch"):
         try:
             _enable_compilation_cache()
-            from .fused import FusedBackend
-            return FusedBackend()
+            from .batching import BatchingBackend
+            return BatchingBackend()
         except Exception:
-            if name == "jax":
+            if name != "auto":
                 raise
             return NumpyBackend()
+    if name == "jax-nobatch":
+        _enable_compilation_cache()
+        from .fused import FusedBackend
+        return FusedBackend()
     if name == "jax-v1":
         _enable_compilation_cache()
         from .kernel import JaxBackend
