@@ -45,13 +45,13 @@ def v_unskew(hap, read, rc, rlen, m, H, R, W):
 
 
 def v_full(hap, read, rc, rlen, m, H, R, W):
-    return fused._fused_one(hap, read, rc, rlen, m, k_idx, H, R,
-                            "m1b")[2].sum()
+    o = fused._fused_one(hap, read, rc, rlen, m, k_idx, H, R, "m1b")
+    return o[2].sum() + o[3].sum()
 
 
 def v_full_del(hap, read, rc, rlen, m, H, R, W):
-    return fused._fused_one(hap, read, rc, rlen, m, k_idx, H, R,
-                            "del")[3].sum()
+    o = fused._fused_one(hap, read, rc, rlen, m, k_idx, H, R, "del")
+    return o[2].sum() + o[3].sum()
 
 
 def v_hist(hap, read, rc, rlen, m, H, R, W):
@@ -114,9 +114,13 @@ for H in (2048, 3072, 4096):
     W = fused.hist_width(H, R)
     width = fused._vmap_width(H, R)
     rng = np.random.default_rng(1)
-    hap = jnp.asarray(rng.integers(0, 5, H, dtype=np.uint8))
-    reads = jnp.asarray(rng.integers(0, 5, (B, R), dtype=np.uint8))
-    rcs = jnp.asarray(rng.integers(0, 5, (B, R), dtype=np.uint8))
+    hapseq = rng.integers(0, 4, H, dtype=np.uint8)
+    rd = np.tile(hapseq[:R], (B, 1))
+    mut = rng.random((B, R)) < 0.08
+    rd = np.where(mut, rng.integers(0, 4, (B, R)), rd).astype(np.uint8)
+    hap = jnp.asarray(hapseq)
+    reads = jnp.asarray(rd)
+    rcs = jnp.asarray(rng.integers(0, 4, (B, R), dtype=np.uint8))
     rlens = jnp.asarray(rng.integers(R // 2, R - 1, B).astype(np.int32))
     ms = jnp.asarray(rng.integers(0, 40, B).astype(np.int32))
     args = (hap, reads, rcs, rlens, ms)

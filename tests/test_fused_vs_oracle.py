@@ -100,3 +100,31 @@ def test_fused_large_bucket(backend):
         assert [[float(x) for x in g] for g in got] == \
             [[float(x) for x in e] for e in expect]
     assert any(e != [0, 0] for e in expect)
+
+
+def test_hits_mxu_equals_hits_normal():
+    """The MXU one-hot matmul hit detector (production path on TPU)
+    is bit-identical to the shift-AND detector (CPU path) across the
+    window sizes and alphabet edge cases."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vapor_tpu.engine import fused, oracle
+
+    rng = np.random.default_rng(42)
+    for k_idx, k in enumerate((10, 20, 30, 40)):
+        H, R = 160, 192
+        hap_s = "".join(rng.choice(list("ACGTNacgtn")) for _ in range(H - 7))
+        read_s = hap_s[3:R - 20] + "NnXx="
+        hap = np.full(H, fused.HAP_PAD, np.uint8)
+        hap[:len(hap_s)] = oracle.encode(hap_s)
+        read = np.full(R, fused.READ_PAD, np.uint8)
+        codes = oracle.encode(read_s)
+        read[:len(codes)] = codes
+        for m in (0, 13):
+            a = np.asarray(fused._hits_normal(
+                jnp.asarray(hap), jnp.asarray(read), jnp.int32(k_idx),
+                jnp.int32(m)))
+            b = np.asarray(fused._hits_mxu(
+                jnp.asarray(hap), jnp.asarray(read), jnp.int32(k_idx),
+                jnp.int32(m)))
+            assert np.array_equal(a, b), (k, m)

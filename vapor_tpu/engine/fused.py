@@ -91,6 +91,55 @@ def _hits_normal(hap: jnp.ndarray, read: jnp.ndarray, k_idx: jnp.ndarray,
     ], B)
 
 
+# MXU hit detection: K[i, j] = [#matching bases over the k-window == k].
+# The window match count is one bf16 matmul of one-hot encodings —
+# A[i, t*V+v] = [hap[i+t] == vocab_v] against the same for the read —
+# exact because counts <= 40 are integers in f32 accumulation.  The
+# vocabulary covers every code the CLI paths can produce (key_modify
+# collapses IUPAC to N/n, pyx:908); codes outside it (pads, the
+# complement sentinel, the INS 'X' placeholder) one-hot to zero rows
+# and therefore never match — identical to the equality-based kernel,
+# which also never matches them against any read code.  Backends check
+# sequences against _VOCAB_OK and fall back to the oracle otherwise.
+_VOCAB = np.frombuffer(b"ACGTNacgtn", dtype=np.uint8)
+_VOCAB_LUT = np.full(256, 127, dtype=np.int8)
+for _i, _c in enumerate(_VOCAB):
+    _VOCAB_LUT[_c] = _i
+_V = len(_VOCAB)
+_VOCAB_OK = np.zeros(256, dtype=bool)
+_VOCAB_OK[_VOCAB] = True
+for _c in b"Xx=":          # never-matching on either engine
+    _VOCAB_OK[_c] = True
+_VOCAB_OK[HAP_PAD] = _VOCAB_OK[READ_PAD] = _VOCAB_OK[0xFE] = True
+
+
+def _onehot_windows(seq: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(L,) uint8 codes -> (L, k*V) bf16 windowed one-hot."""
+    L = seq.shape[0]
+    v = jnp.asarray(_VOCAB_LUT)[jnp.pad(seq, (0, k),
+                                        constant_values=HAP_PAD)]
+    base = (v[:, None] == jnp.arange(_V, dtype=jnp.int8)[None, :])
+    cols = [lax.slice_in_dim(base, t, t + L, axis=0) for t in range(k)]
+    return jnp.concatenate(cols, axis=1).astype(jnp.bfloat16)
+
+
+def _hits_mxu(hap: jnp.ndarray, read: jnp.ndarray, k_idx: jnp.ndarray,
+              m: jnp.ndarray) -> jnp.ndarray:
+    """MXU version of _hits_normal (bit-identical output)."""
+    def one(k):
+        def f(hap, read):
+            A = _onehot_windows(hap, k)
+            Bm = _onehot_windows(read, k)
+            M = lax.dot_general(A, Bm, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            rows_ok = jax.lax.broadcasted_iota(
+                jnp.int32, (hap.shape[0], 1), 0) >= m
+            return (M == np.float32(k)) & rows_ok
+        return f
+    return lax.switch(k_idx, [one(10), one(20), one(30), one(40)],
+                      hap, read)
+
+
 def _flip_to_dot_space(Kq: jnp.ndarray, rlen: jnp.ndarray,
                        k: jnp.ndarray) -> jnp.ndarray:
     """Map reverse-complement hits (i, q) -> dot coordinates (i, j):
@@ -350,8 +399,12 @@ def _fused_one(hap, read, rc, rlen, m, k_idx, H: int, R: int,
     """Everything for one (read, hap): gates, cleaning, moments."""
     W = hist_width(H, R)
     k = 10 * (k_idx + 1)
-    Kf = _hits_normal(hap, read, k_idx, m)
-    Kr = _flip_to_dot_space(_hits_normal(hap, rc, k_idx, m), rlen, k)
+    # MXU one-hot matmul hits on accelerators; the shift-AND VPU path
+    # on CPU, where bf16 matmuls are emulated ~50x slower.  Outputs are
+    # bit-identical (tests/test_fused_vs_oracle.py::test_hits_mxu).
+    hits = _hits_mxu if jax.default_backend() != "cpu" else _hits_normal
+    Kf = hits(hap, read, k_idx, m)
+    Kr = _flip_to_dot_space(hits(hap, rc, k_idx, m), rlen, k)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, R), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, R), 1)
@@ -600,7 +653,8 @@ class FusedBackend:
         ref_m1b = ref_seq.upper()
         alt_m1b = alt_seq.upper()
         try:
-            H = bucket_for(max(len(ref_m1b), len(alt_m1b)) + 1)
+            H_r = bucket_for(len(ref_m1b) + 1)
+            H_a = bucket_for(len(alt_m1b) + 1)
             R = bucket_for(max(len(r[0]) for r in reads) + 1)
         except ValueError:
             out = ([oracle.SCORERS["abs_dis_m1b"](
@@ -611,17 +665,25 @@ class FusedBackend:
                     for r in reads])
             return lambda: out
         enc = self._encode_reads(reads, R)
+        haps = [self._encode_hap(s, hh) for s, hh in
+                ((ref_m1b, H_r), (alt_m1b, H_a), (ref_seq, H_r),
+                 (alt_seq, H_a))]
+        if not (_VOCAB_OK[enc[0]].all() and _VOCAB_OK[enc[1]].all()
+                and all(_VOCAB_OK[h].all() for h in haps)):
+            out = ([oracle.SCORERS["abs_dis_m1b"](
+                        ref_seq, alt_seq, r[0], r[1], window)
+                    for r in reads],
+                   [oracle.SCORERS["within_10perc_m1b"](
+                        ref_seq, alt_seq, r[0], r[1], window)
+                    for r in reads])
+            return lambda: out
         # m1b runs on uppercased haps, within-10% on the raw ones
         # (pyx:183-184 vs 278) — same device mode, different codes
-        d_ref_u = self._submit(self._encode_hap(ref_m1b, H), enc,
-                               window, H, R, "del")
-        d_alt_u = self._submit(self._encode_hap(alt_m1b, H), enc,
-                               window, H, R, "del")
+        d_ref_u = self._submit(haps[0], enc, window, H_r, R, "del")
+        d_alt_u = self._submit(haps[1], enc, window, H_a, R, "del")
         if ref_seq != ref_m1b or alt_seq != alt_m1b:
-            d_ref_r = self._submit(self._encode_hap(ref_seq, H), enc,
-                                   window, H, R, "del")
-            d_alt_r = self._submit(self._encode_hap(alt_seq, H), enc,
-                                   window, H, R, "del")
+            d_ref_r = self._submit(haps[2], enc, window, H_r, R, "del")
+            d_alt_r = self._submit(haps[3], enc, window, H_a, R, "del")
         else:
             d_ref_r, d_alt_r = d_ref_u, d_alt_u
         return functools.partial(
@@ -687,7 +749,11 @@ class FusedBackend:
         ref_s = ref_seq.upper() if upper else ref_seq
         alt_s = alt_seq.upper() if upper else alt_seq
         try:
-            H = bucket_for(max(len(ref_s), len(alt_s)) + 1)
+            # per-haplotype buckets: padding never changes scores, and
+            # the batching layer groups by (H, R) anyway, so each hap
+            # pads only to its own size (a TANDUP alt is ~2x its ref)
+            H_r = bucket_for(len(ref_s) + 1)
+            H_a = bucket_for(len(alt_s) + 1)
             R = bucket_for(max(len(r[0]) for r in reads) + 1)
         except ValueError:
             out = [oracle.SCORERS[scorer](ref_seq, alt_seq, r[0], r[1],
@@ -696,12 +762,17 @@ class FusedBackend:
         mode = {"abs_dis_m1b": "m1b", "within_10perc_m1b": "w10",
                 "redefine_diagonal": "rdd"}[scorer]
         enc = self._encode_reads(reads, R)
+        hr = self._encode_hap(ref_s, H_r)
+        ha = self._encode_hap(alt_s, H_a)
+        if not (_VOCAB_OK[enc[0]].all() and _VOCAB_OK[enc[1]].all()
+                and _VOCAB_OK[hr].all() and _VOCAB_OK[ha].all()):
+            out = [oracle.SCORERS[scorer](ref_seq, alt_seq, r[0], r[1],
+                                          window) for r in reads]
+            return lambda: out
         # dispatch both haplotypes before materializing either (the
         # device overlaps them; np.asarray in FusedStats blocks)
-        d_ref = self._submit(self._encode_hap(ref_s, H), enc, window,
-                             H, R, mode)
-        d_alt = self._submit(self._encode_hap(alt_s, H), enc, window,
-                             H, R, mode)
+        d_ref = self._submit(hr, enc, window, H_r, R, mode)
+        d_alt = self._submit(ha, enc, window, H_a, R, mode)
         return functools.partial(self._finish_score, mode, ref_s,
                                  alt_s, reads, d_ref, d_alt)
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..engine.kernel import _dot_stats_one, _hist_layout
+from ..engine.fused import _fused_one, hist_width
 
 
 def make_mesh(n_devices: int, dp: int = 0, sp: int = 1) -> Mesh:
@@ -41,44 +41,43 @@ def make_mesh(n_devices: int, dp: int = 0, sp: int = 1) -> Mesh:
 
 
 def sharded_event_step(mesh: Mesh, H: int, R: int):
-    """Compile one data-parallel scoring step over `mesh`.
+    """Compile one data-parallel scoring step over `mesh` on the fused
+    v2 engine (the production scoring path).
 
-    Returns step(hap, reads, rcs, rlens, ms, k) ->
-      (hist_d shard, scalars, support_psum):
-    reads sharded over dp, histograms reduce-scattered over sp, and the
-    per-batch evaluable-dot totals psum-reduced over dp — exercising
-    real ICI collectives (psum, reduce_scatter) around the kernel.
+    Returns step(haps, reads, rcs, rlens, ms) ->
+      (hist_d shard, packed stats, support_psum):
+    (read x haplotype) work rows — each with its own haplotype, the
+    cross-event layout — are sharded over dp, bucket histograms are
+    reduce-scattered over sp, and the evaluable-dot totals psum-reduced
+    over dp — real ICI collectives (psum, reduce_scatter) around the
+    same per-row computation `fused_batch` runs on one chip.
     """
-    WH, _, _ = _hist_layout(H, R)
+    WH = hist_width(H, R)
     n_sp = mesh.shape["sp"]
     pad = (-WH) % n_sp
 
-    def per_shard(hap, reads, rcs, rlens, ms):
-        dm = jnp.ones((WH,), jnp.bool_)
-        am = jnp.ones((WH,), jnp.bool_)
-
+    def per_shard(haps, reads, rcs, rlens, ms):
         def one(args):
-            read, rc, rlen, m = args
-            h_d, h_a, scalars, mom = _dot_stats_one(
-                hap, read, rc, rlen, m, dm, am, jnp.int32(1),
-                jnp.int32(0), jnp.int32(10), H, R)
-            return h_d, scalars
-        h_d, scalars = lax.map(one, (reads, rcs, rlens, ms))
+            hap, read, rc, rlen, m = args
+            h_d, h_a, scalars, mom = _fused_one(
+                hap, read, rc, rlen, m, jnp.int32(0), H, R, "m1b")
+            return h_d, jnp.concatenate([scalars, mom])
+        h_d, packed = lax.map(one, (haps, reads, rcs, rlens, ms))
         # total dots on this dp shard -> global via psum over dp (ICI)
-        n_local = ((scalars[:, 0] << 16) + scalars[:, 1]
-                   + (scalars[:, 2] << 16) + scalars[:, 3]).sum()
+        n_local = ((packed[:, 0] << 16) + packed[:, 1]
+                   + (packed[:, 2] << 16) + packed[:, 3]).sum()
         n_global = lax.psum(n_local, axis_name="dp")
         # shard histogram buckets across sp (reduce_scatter over ICI)
         h_pad = jnp.pad(h_d.sum(axis=0), (0, pad))
         h_shard = lax.psum_scatter(
             h_pad.reshape(n_sp, -1), axis_name="sp", scatter_dimension=0,
             tiled=False)
-        return h_shard, scalars, n_global
+        return h_shard, packed, n_global
 
     from jax.experimental.shard_map import shard_map
     fn = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp")),
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
         out_specs=(P("sp"), P("dp"), P()),
         check_rep=False)
     return jax.jit(fn)
