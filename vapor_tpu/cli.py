@@ -219,79 +219,89 @@ def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
     out_name = args.sv_input + ".vapor"
     initiate_output(out_name)
 
-    def emit(key: str, scores) -> None:
+    def emit(key: Optional[str], scores) -> None:
+        if key is None:
+            return
         append_result_row(out_name, organize_result(key, scores))
 
+    tasks = []
     for sv_type in list(vcf_list.keys()):
         entries = _shard(vcf_list[sv_type], args.shard_index,
                          args.num_shards)
         for y in entries:
             if "NA" in y:
                 continue
-            print(y)
-            if sv_type == "DEL":
-                key = ":".join([str(i) for i in y] + ["DEL"])
-                if y[2] - y[1] < DEFAULT_CONFIG.min_sv_span:
-                    emit(key, [])
-                else:
-                    emit(key, ctx.validate_del(
+
+            def task(sv_type=sv_type, y=y):
+                print(y)
+                if sv_type == "DEL":
+                    key = ":".join([str(i) for i in y] + ["DEL"])
+                    if y[2] - y[1] < DEFAULT_CONFIG.min_sv_span:
+                        return key, []
+                    return key, ctx.validate_del(
                         num_reads_cff, y, out_path + sample + ".DEL."
-                        + key.replace(":", "__") + ".png"))
-            elif sv_type == "INV":
-                if y[2] - y[1] < DEFAULT_CONFIG.min_sv_span:
-                    # reference labels the sub-50 INV NA row DEL
-                    # (vapor:409)
-                    emit(":".join([str(i) for i in y] + ["DEL"]), [])
-                else:
+                        + key.replace(":", "__") + ".png")
+                if sv_type == "INV":
+                    if y[2] - y[1] < DEFAULT_CONFIG.min_sv_span:
+                        # reference labels the sub-50 INV NA row DEL
+                        # (vapor:409)
+                        return ":".join([str(i) for i in y]
+                                        + ["DEL"]), []
                     key = ":".join([str(i) for i in y] + ["INV"])
-                    emit(key, ctx.validate_inv(
+                    return key, ctx.validate_inv(
                         num_reads_cff, y, out_path + sample + ".INV."
-                        + key.replace(":", "__") + ".png"))
-            elif sv_type == "INS":
-                key = ":".join([str(i) for i in y[:3] + ["INS"]])
-                ins_pos = "_".join(str(i) for i in y[:2])
-                # reference quirk (vapor:425-426): INS worklist entries
-                # always carry 4 fields, so a record without SEQ= gets an
-                # *empty* insert sequence (flank 0 -> NA), never the
-                # X-run fallback
-                ins_seq = y[-1] if len(y) == 4 else "X" * y[2]
-                emit(key, ctx.validate_ins(
-                    num_reads_cff, ins_pos, ins_seq, "+",
-                    out_path + sample + ".INS."
-                    + key.replace(":", "__") + ".png"))
-            elif sv_type == "DISDUP":
-                key = ":".join([str(i) for i in y] + ["DISDUP"])
-                emit(key, ctx.validate_disdup(
-                    num_reads_cff, y, out_path + sample + ".DISDUP."
-                    + key.replace(":", "__") + ".png"))
-            elif sv_type == "DEL_INV":
-                key = ":".join(["_".join(str(i) for i in blk)
-                                for blk in y] + ["DEL_INV"])
-                emit(key, ctx.validate_del_inv(
-                    num_reads_cff, y, out_path + sample + ".DEL_INV."
-                    + key.replace(":", "__") + ".png"))
-            elif sv_type == "DUP_INV":
-                key = ":".join([str(i) for i in y] + ["DUP_INV"])
-                emit(key, ctx.validate_dup_inv(
-                    num_reads_cff, y, out_path + sample + ".DUP_INV."
-                    + key.replace(":", "__") + ".png"))
-            elif sv_type == "TANDUP":
-                if getattr(args, "validate_vcf_tandup", False):
-                    key = ":".join([str(i) for i in y] + ["TANDUP"])
-                    emit(key, ctx.validate_tandup(
-                        num_reads_cff, y, out_path + sample + ".TANDUP."
-                        + key.replace(":", "__") + ".png"))
-                else:
-                    # reference quirk: the VCF flow has no TANDUP branch
-                    # (vapor:387-465) — DUP/tandup records are parsed
-                    # but never validated and emit no row
+                        + key.replace(":", "__") + ".png")
+                if sv_type == "INS":
+                    key = ":".join([str(i) for i in y[:3] + ["INS"]])
+                    ins_pos = "_".join(str(i) for i in y[:2])
+                    # reference quirk (vapor:425-426): INS worklist
+                    # entries always carry 4 fields, so a record
+                    # without SEQ= gets an *empty* insert sequence
+                    # (flank 0 -> NA), never the X-run fallback
+                    ins_seq = y[-1] if len(y) == 4 else "X" * y[2]
+                    return key, ctx.validate_ins(
+                        num_reads_cff, ins_pos, ins_seq, "+",
+                        out_path + sample + ".INS."
+                        + key.replace(":", "__") + ".png")
+                if sv_type == "DISDUP":
+                    key = ":".join([str(i) for i in y] + ["DISDUP"])
+                    return key, ctx.validate_disdup(
+                        num_reads_cff, y, out_path + sample + ".DISDUP."
+                        + key.replace(":", "__") + ".png")
+                if sv_type == "DEL_INV":
+                    key = ":".join(["_".join(str(i) for i in blk)
+                                    for blk in y] + ["DEL_INV"])
+                    return key, ctx.validate_del_inv(
+                        num_reads_cff, y, out_path + sample + ".DEL_INV."
+                        + key.replace(":", "__") + ".png")
+                if sv_type == "DUP_INV":
+                    key = ":".join([str(i) for i in y] + ["DUP_INV"])
+                    return key, ctx.validate_dup_inv(
+                        num_reads_cff, y, out_path + sample + ".DUP_INV."
+                        + key.replace(":", "__") + ".png")
+                if sv_type == "TANDUP":
+                    if getattr(args, "validate_vcf_tandup", False):
+                        key = ":".join([str(i) for i in y] + ["TANDUP"])
+                        return key, ctx.validate_tandup(
+                            num_reads_cff, y, out_path + sample
+                            + ".TANDUP." + key.replace(":", "__")
+                            + ".png")
+                    # reference quirk: the VCF flow has no TANDUP
+                    # branch (vapor:387-465) — DUP/tandup records are
+                    # parsed but never validated and emit no row
                     print(sv_type)
-            elif sv_type == "Other":
-                key = ":".join([str(i) for i in y] + ["CANNOT_CLASSIFY"])
-                emit(key, ctx.validate_complex(
-                    num_reads_cff, y,
-                    out_path + sample + ".CANNOT_CLASSIFY."
-                    + key.replace(":", "__") + ".png"))
+                    return None, None
+                if sv_type == "Other":
+                    key = ":".join([str(i) for i in y]
+                                   + ["CANNOT_CLASSIFY"])
+                    return key, ctx.validate_complex(
+                        num_reads_cff, y,
+                        out_path + sample + ".CANNOT_CLASSIFY."
+                        + key.replace(":", "__") + ".png")
+                return None, None
+            tasks.append(task)
+
+    _run_pipelined(tasks, emit, getattr(args, "pipeline", 1))
     annotate_vcf(args.sv_input, invert_record_keys(rec_hash))
 
 
@@ -315,12 +325,19 @@ def run_ins(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
     initiate_output(out_name)
     records = _shard(melt_records(prefix, fetch_entry),
                      args.shard_index, args.num_shards)
-    for key_event, ins_seq, polarity in records:
-        scores = ctx.validate_ins(
+
+    def task(key_event, ins_seq, polarity):
+        return key_event, ctx.validate_ins(
             num_reads_cff, key_event, ins_seq, polarity,
             out_path + sample + ".INS."
             + key_event.replace(":", "__") + ".png")
+
+    def emit(key_event, scores):
         append_result_row(out_name, organize_result(key_event, scores))
+
+    import functools
+    _run_pipelined([functools.partial(task, *rec) for rec in records],
+                   emit, getattr(args, "pipeline", 1))
 
 
 def run_svelter(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
@@ -328,19 +345,29 @@ def run_svelter(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
     os.makedirs(out_path, exist_ok=True)
     sample = _sample_name(args.sv_input)
     svelter_hash = svelter_readin(args.sv_input)
+    tasks = []
     for ref_struct in list(svelter_hash.keys()):
         for alt_struct in list(svelter_hash[ref_struct].keys()):
             entries = _shard(svelter_hash[ref_struct][alt_struct],
                              args.shard_index, args.num_shards)
             for bps in entries:
-                key_event = "." + "_".join(bps)
-                fig = out_path + sample + \
-                    key_event.replace(":", "__") + ".png"
-                sv_info = [ref_struct, alt_struct] + bps
-                print(sv_info)
-                scores = ctx.validate_complex(num_reads_cff, sv_info, fig)
-                append_result_row(args.output_file,
-                                  organize_result(key_event, scores))
+
+                def task(ref_struct=ref_struct, alt_struct=alt_struct,
+                         bps=bps):
+                    key_event = "." + "_".join(bps)
+                    fig = out_path + sample + \
+                        key_event.replace(":", "__") + ".png"
+                    sv_info = [ref_struct, alt_struct] + bps
+                    print(sv_info)
+                    return key_event, ctx.validate_complex(
+                        num_reads_cff, sv_info, fig)
+                tasks.append(task)
+
+    def emit(key_event, scores):
+        append_result_row(args.output_file,
+                          organize_result(key_event, scores))
+
+    _run_pipelined(tasks, emit, getattr(args, "pipeline", 1))
 
 
 def main(argv: Optional[List[str]] = None) -> int:
