@@ -99,17 +99,14 @@ def _shard(items: List, index: int, total: int) -> List:
 
 
 def _run_pipelined(tasks, emit, jobs: int) -> None:
-    """Run per-event closures, optionally overlapped across threads,
-    emitting results strictly in submission order."""
-    if jobs <= 1:
-        for task in tasks:
-            emit(*task())
-        return
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=jobs) as pool:
-        futures = [pool.submit(task) for task in tasks]
-        for fut in futures:
-            emit(*fut.result())
+    """Run per-event task generators, overlapping up to ``jobs`` of
+    them cooperatively on one thread (utils/coro.py), emitting results
+    strictly in submission order.  Single-thread async dispatch beats
+    the earlier thread-pool pipeline on a relay-attached TPU: result
+    fetches hold the GIL for the whole RPC, so threads never truly
+    overlapped."""
+    from .utils.coro import run_pipelined
+    run_pipelined(tasks, emit, jobs)
 
 
 def _resume_keys(out_name: str):
@@ -170,13 +167,13 @@ def run_bed(args, ctx: ValidatorContext, num_reads_cff: int,
         def task(x=x):
             if x[-1] in ("a/", "/a", "/", "DEL"):
                 key = ":".join([str(i) for i in x[:-3]] + ["DEL"])
-                scores = ctx.validate_del(
+                scores = yield from ctx.validate_del_gen(
                     num_reads_cff, x[:-3],
                     out_path + sample + ".DEL." + key.replace(":", "__")
                     + "." + fig_ext)
             elif x[-1] in ("a/a^", "a^/a", "a^/a^", "INV"):
                 key = ":".join([str(i) for i in x[:-3]] + ["INV"])
-                scores = ctx.validate_inv(
+                scores = yield from ctx.validate_inv_gen(
                     num_reads_cff, x[:-3],
                     out_path + sample + ".INV." + key.replace(":", "__")
                     + "." + fig_ext)
@@ -184,13 +181,13 @@ def run_bed(args, ctx: ValidatorContext, num_reads_cff: int,
                 key = ":".join([str(i) for i in x[:-3] + ["INS"]])
                 ins_pos = "_".join(str(i) for i in x[:2])
                 ins_seq = "X" * x[4] if isinstance(x[4], int) else x[4]
-                scores = ctx.validate_ins(
+                scores = yield from ctx.validate_ins_gen(
                     num_reads_cff, ins_pos, ins_seq, "+",
                     out_path + sample + ".INS." + key.replace(":", "__")
                     + "." + fig_ext)
             elif x[-1] in ("a/aa", "aa/a", "aa/aa", "DUP", "TANDUP"):
                 key = ":".join([str(i) for i in x[:-3]] + ["TANDUP"])
-                scores = ctx.validate_tandup(
+                scores = yield from ctx.validate_tandup_gen(
                     num_reads_cff, x[:-3],
                     out_path + sample + ".TANDUP."
                     + key.replace(":", "__") + "." + fig_ext)
@@ -238,9 +235,9 @@ def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
                     key = ":".join([str(i) for i in y] + ["DEL"])
                     if y[2] - y[1] < DEFAULT_CONFIG.min_sv_span:
                         return key, []
-                    return key, ctx.validate_del(
+                    return key, (yield from ctx.validate_del_gen(
                         num_reads_cff, y, out_path + sample + ".DEL."
-                        + key.replace(":", "__") + ".png")
+                        + key.replace(":", "__") + ".png"))
                 if sv_type == "INV":
                     if y[2] - y[1] < DEFAULT_CONFIG.min_sv_span:
                         # reference labels the sub-50 INV NA row DEL
@@ -248,9 +245,9 @@ def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
                         return ":".join([str(i) for i in y]
                                         + ["DEL"]), []
                     key = ":".join([str(i) for i in y] + ["INV"])
-                    return key, ctx.validate_inv(
+                    return key, (yield from ctx.validate_inv_gen(
                         num_reads_cff, y, out_path + sample + ".INV."
-                        + key.replace(":", "__") + ".png")
+                        + key.replace(":", "__") + ".png"))
                 if sv_type == "INS":
                     key = ":".join([str(i) for i in y[:3] + ["INS"]])
                     ins_pos = "_".join(str(i) for i in y[:2])
@@ -259,33 +256,33 @@ def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
                     # without SEQ= gets an *empty* insert sequence
                     # (flank 0 -> NA), never the X-run fallback
                     ins_seq = y[-1] if len(y) == 4 else "X" * y[2]
-                    return key, ctx.validate_ins(
+                    return key, (yield from ctx.validate_ins_gen(
                         num_reads_cff, ins_pos, ins_seq, "+",
                         out_path + sample + ".INS."
-                        + key.replace(":", "__") + ".png")
+                        + key.replace(":", "__") + ".png"))
                 if sv_type == "DISDUP":
                     key = ":".join([str(i) for i in y] + ["DISDUP"])
-                    return key, ctx.validate_disdup(
+                    return key, (yield from ctx.validate_disdup_gen(
                         num_reads_cff, y, out_path + sample + ".DISDUP."
-                        + key.replace(":", "__") + ".png")
+                        + key.replace(":", "__") + ".png"))
                 if sv_type == "DEL_INV":
                     key = ":".join(["_".join(str(i) for i in blk)
                                     for blk in y] + ["DEL_INV"])
-                    return key, ctx.validate_del_inv(
+                    return key, (yield from ctx.validate_del_inv_gen(
                         num_reads_cff, y, out_path + sample + ".DEL_INV."
-                        + key.replace(":", "__") + ".png")
+                        + key.replace(":", "__") + ".png"))
                 if sv_type == "DUP_INV":
                     key = ":".join([str(i) for i in y] + ["DUP_INV"])
-                    return key, ctx.validate_dup_inv(
+                    return key, (yield from ctx.validate_dup_inv_gen(
                         num_reads_cff, y, out_path + sample + ".DUP_INV."
-                        + key.replace(":", "__") + ".png")
+                        + key.replace(":", "__") + ".png"))
                 if sv_type == "TANDUP":
                     if getattr(args, "validate_vcf_tandup", False):
                         key = ":".join([str(i) for i in y] + ["TANDUP"])
-                        return key, ctx.validate_tandup(
+                        return key, (yield from ctx.validate_tandup_gen(
                             num_reads_cff, y, out_path + sample
                             + ".TANDUP." + key.replace(":", "__")
-                            + ".png")
+                            + ".png"))
                     # reference quirk: the VCF flow has no TANDUP
                     # branch (vapor:387-465) — DUP/tandup records are
                     # parsed but never validated and emit no row
@@ -294,10 +291,10 @@ def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
                 if sv_type == "Other":
                     key = ":".join([str(i) for i in y]
                                    + ["CANNOT_CLASSIFY"])
-                    return key, ctx.validate_complex(
+                    return key, (yield from ctx.validate_complex_gen(
                         num_reads_cff, y,
                         out_path + sample + ".CANNOT_CLASSIFY."
-                        + key.replace(":", "__") + ".png")
+                        + key.replace(":", "__") + ".png"))
                 return None, None
             tasks.append(task)
 
@@ -327,10 +324,10 @@ def run_ins(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
                      args.shard_index, args.num_shards)
 
     def task(key_event, ins_seq, polarity):
-        return key_event, ctx.validate_ins(
+        return key_event, (yield from ctx.validate_ins_gen(
             num_reads_cff, key_event, ins_seq, polarity,
             out_path + sample + ".INS."
-            + key_event.replace(":", "__") + ".png")
+            + key_event.replace(":", "__") + ".png"))
 
     def emit(key_event, scores):
         append_result_row(out_name, organize_result(key_event, scores))
@@ -359,8 +356,8 @@ def run_svelter(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
                         key_event.replace(":", "__") + ".png"
                     sv_info = [ref_struct, alt_struct] + bps
                     print(sv_info)
-                    return key_event, ctx.validate_complex(
-                        num_reads_cff, sv_info, fig)
+                    return key_event, (yield from ctx.validate_complex_gen(
+                        num_reads_cff, sv_info, fig))
                 tasks.append(task)
 
     def emit(key_event, scores):

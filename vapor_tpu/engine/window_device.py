@@ -42,7 +42,8 @@ def _self_stats(hap, rc, length, k_idx, H: int):
     total = h_d.sum()
     diag = h_d[H]
     below = h_d[:H].sum()
-    return total, diag, below
+    # one stacked output -> one host fetch per refinement step
+    return jnp.stack([total, diag, below])
 
 
 class DeviceWindowRefiner:
@@ -52,8 +53,9 @@ class DeviceWindowRefiner:
         self.region_qc_cff = region_qc_cff
         self.seed = seed
 
-    def _stats(self, seq: str, window: int
-               ) -> Optional[Tuple[int, int, int]]:
+    def _stats_async(self, seq: str, window: int):
+        """Dispatch the self-comparison; returns a zero-arg finisher
+        producing (total, diag, below), or None when unbucketable."""
         try:
             H = bucket_for(len(seq) + 1)
         except ValueError:
@@ -63,20 +65,32 @@ class DeviceWindowRefiner:
         hap[: len(codes)] = codes
         rc = np.full(H, 251, dtype=np.uint8)   # distinct pad
         rc[: len(codes)] = oracle.encode_comp(seq)[::-1]
-        total, diag, below = _self_stats(
+        out = _self_stats(
             jnp.asarray(hap), jnp.asarray(rc), jnp.int32(len(codes)),
             jnp.int32(window // 10 - 1), H=H)
-        return int(total), int(diag), int(below)
+        return lambda: tuple(int(v) for v in np.asarray(out))
+
+    def _stats(self, seq: str, window: int
+               ) -> Optional[Tuple[int, int, int]]:
+        fin = self._stats_async(seq, window)
+        return None if fin is None else fin()
 
     def refine(self, seq: str) -> Optional[int]:
+        from ..utils.coro import drain
+        return drain(self.refine_gen(seq))
+
+    def refine_gen(self, seq: str):
+        """Generator form of refine: yields zero-arg finishers for each
+        device round-trip so a cooperative driver can overlap events
+        (same control flow as the blocking path, one step at a time)."""
         seq = seq.replace("X", "")
         if seq.count("N") + seq.count("n") > 100:
             return None
         window = 10
-        stats = self._stats(seq, window)
-        if stats is None:
+        fin = self._stats_async(seq, window)
+        if fin is None:
             return _host_refine(seq, self.region_qc_cff, self.seed)
-        total, diag, below = stats
+        total, diag, below = yield fin
         if total == 0:
             return None
         while True:
@@ -96,8 +110,7 @@ class DeviceWindowRefiner:
                     sum(qc[1]) / len(seq) < 0.3:
                 break
             window += 10
-            stats = self._stats(seq, window)
-            total, diag, below = stats
+            total, diag, below = yield self._stats_async(seq, window)
             if total == 0:
                 break
         return window

@@ -1,0 +1,90 @@
+"""Cooperative pipelining primitives for the validator coroutines.
+
+Validators are written once, as generators that *yield zero-arg
+finishers* wherever a device round-trip would block (window refinement
+stats, score batches).  Two drivers consume them:
+
+* ``drain`` — resolve each finisher immediately: exactly the original
+  blocking control flow (the public ``validate_*`` methods).
+* ``run_pipelined`` — keep up to N task generators in flight on one
+  thread.  Younger generators' device work is already dispatched while
+  the oldest generator's finisher blocks, so the device never idles on
+  the relay fetch latency; with the BatchingBackend the concurrently
+  pending requests also coalesce into combined device calls.  Results
+  are emitted strictly in submission order.
+
+Single-thread cooperative scheduling replaces the earlier thread-pool
+pipeline: result fetches hold the GIL for the whole relay RPC, so
+threads never actually overlapped host work with fetches (measured in
+round 1: the async dispatch API beat thread pools at every width).
+"""
+from __future__ import annotations
+
+from typing import Callable, Iterable, List
+
+
+def drain(gen):
+    """Run a finisher-yielding generator to completion, resolving each
+    yielded finisher immediately (the sequential/blocking semantics)."""
+    try:
+        fin = next(gen)
+        while True:
+            fin = gen.send(fin())
+    except StopIteration as stop:
+        return stop.value
+
+
+def run_pipelined(tasks: Iterable[Callable], emit: Callable,
+                  depth: int) -> None:
+    """Run task-generator factories, overlapping up to ``depth`` of
+    them; ``emit(*result)`` fires in submission order.
+
+    Each factory returns a generator yielding zero-arg finishers and
+    returning the emit arguments.  The scheduler always advances the
+    oldest in-flight task (so emission never lags), while the younger
+    tasks' pending device calls keep the accelerator busy.
+    """
+    results = {}
+    next_emit = 0
+
+    def flush():
+        nonlocal next_emit
+        while next_emit in results:
+            emit(*results.pop(next_emit))
+            next_emit += 1
+
+    if depth <= 1:
+        for i, factory in enumerate(tasks):
+            results[i] = drain(factory())
+            flush()
+        return
+
+    it = enumerate(iter(tasks))
+    exhausted = False
+    active: List = []     # [index, generator, pending finisher]
+
+    def admit():
+        nonlocal exhausted
+        while not exhausted and len(active) < depth:
+            nxt = next(it, None)
+            if nxt is None:
+                exhausted = True
+                return
+            i, factory = nxt
+            gen = factory()
+            try:
+                active.append([i, gen, next(gen)])
+            except StopIteration as stop:
+                results[i] = stop.value
+                flush()
+
+    admit()
+    while active:
+        i, gen, fin = active[0]
+        try:
+            active[0][2] = gen.send(fin())
+        except StopIteration as stop:
+            active.pop(0)
+            results[i] = stop.value
+            flush()
+            admit()

@@ -29,9 +29,34 @@ def _wrap(obj, name):
     setattr(obj, name, timed)
 
 
+def _wrap_async(obj, name):
+    """Time an async dispatcher separately from its finisher wait."""
+    fn = getattr(obj, name)
+
+    def timed(*a, **kw):
+        t0 = time.perf_counter()
+        fin = fn(*a, **kw)
+        _STATS[name][0] += 1
+        _STATS[name][1] += time.perf_counter() - t0
+
+        def waited():
+            t1 = time.perf_counter()
+            try:
+                return fin()
+            finally:
+                _STATS[name + ".wait"][0] += 1
+                _STATS[name + ".wait"][1] += time.perf_counter() - t1
+        return waited
+
+    setattr(obj, name, timed)
+
+
 def enable_trace(ctx) -> None:
-    for name in ("fetch", "reads", "refine", "_score"):
+    for name in ("fetch", "reads", "refine"):
         _wrap(ctx, name)
+    # the validator generators dispatch through _score_async; _score
+    # routes through it too, so both pipelined and blocking runs count
+    _wrap_async(ctx, "_score_async")
     atexit.register(_report)
 
 

@@ -14,6 +14,12 @@ type by type:
   DUP_INV vapor_dup_inv_VapoR           pyx:1595-1669
   Other   vapor_CANNOT_CLASSIFY_VapoR   pyx:1490-1555
 
+Every validator is written once, as a generator (``validate_*_gen``)
+that yields zero-arg finishers wherever a device round-trip would
+block; the public ``validate_*`` methods drain the generator (the
+original blocking semantics), while the CLI pipeline overlaps many
+generators on one thread (utils/coro.py).
+
 Known reference bugs fixed here (documented divergences):
 * pyx:1585/1591-1592 call validators with a stale 4-argument signature
   and would raise TypeError; we dispatch with the live signature.
@@ -34,6 +40,7 @@ from .grammar.letters import (block_around_check, bp_to_chr_hash,
                               letter_split)
 from .io.fasta import FastaFile, reverse_complement
 from .io.reads import collect_event_reads
+from .utils.coro import drain
 
 
 def _unique(seq: Sequence) -> List:
@@ -88,15 +95,28 @@ class ValidatorContext:
             self.cfg.ideal_read_list_length)
 
     def refine(self, seq: str) -> Optional[int]:
+        return drain(self._refine_gen(seq))
+
+    def _refine_gen(self, seq: str):
         if self._refiner is not None:
-            return self._refiner.refine(seq)
+            return (yield from self._refiner.refine_gen(seq))
         w, _ = window_size_refine(seq, self.cfg.region_qc_cff)
         return w
 
     def _score(self, scorer: str, ref_seq: str, alt_seq: str,
                reads: List[List], window: int) -> List[List[float]]:
-        return self.backend.score_batch(scorer, ref_seq, alt_seq,
-                                        reads, window)
+        return self._score_async(scorer, ref_seq, alt_seq, reads,
+                                 window)()
+
+    def _score_async(self, scorer: str, ref_seq: str, alt_seq: str,
+                     reads: List[List], window: int):
+        """Dispatch a score batch; returns the zero-arg finisher."""
+        if hasattr(self.backend, "score_batch_async"):
+            return self.backend.score_batch_async(scorer, ref_seq,
+                                                  alt_seq, reads, window)
+        out = self.backend.score_batch(scorer, ref_seq, alt_seq, reads,
+                                       window)
+        return lambda: out
 
     def _accumulate(self, raw_scores, reads, scores, state,
                     nan_guard: bool = False) -> None:
@@ -122,9 +142,37 @@ class ValidatorContext:
         make_event_figure(best, window, ref_seq, alt_seq, fig_name)
 
     # -- validators -------------------------------------------------------
+    # (public blocking forms; each drains its generator twin below)
 
-    def validate_del(self, num_reads_cff: int, sv_info: Sequence,
-                     fig_name: str = "") -> List[float]:
+    def validate_del(self, *a, **kw) -> List[float]:
+        return drain(self.validate_del_gen(*a, **kw))
+
+    def validate_inv(self, *a, **kw) -> List[float]:
+        return drain(self.validate_inv_gen(*a, **kw))
+
+    def validate_tandup(self, *a, **kw) -> List[float]:
+        return drain(self.validate_tandup_gen(*a, **kw))
+
+    def validate_ins(self, *a, **kw) -> List[float]:
+        return drain(self.validate_ins_gen(*a, **kw))
+
+    def validate_disdup(self, *a, **kw) -> List[float]:
+        return drain(self.validate_disdup_gen(*a, **kw))
+
+    def validate_dup_inv(self, *a, **kw) -> List[float]:
+        return drain(self.validate_dup_inv_gen(*a, **kw))
+
+    def validate_del_inv(self, *a, **kw) -> List[float]:
+        return drain(self.validate_del_inv_gen(*a, **kw))
+
+    def validate_long_del_inv(self, *a, **kw) -> List[float]:
+        return drain(self.validate_long_del_inv_gen(*a, **kw))
+
+    def validate_complex(self, *a, **kw) -> List[float]:
+        return drain(self.validate_complex_gen(*a, **kw))
+
+    def validate_del_gen(self, num_reads_cff: int, sv_info: Sequence,
+                         fig_name: str = ""):
         """pyx:1701-1745."""
         chrom, s, e = sv_info[0], int(sv_info[1]), int(sv_info[2])
         flank = flank_length_calculate([chrom, s, e])
@@ -134,17 +182,21 @@ class ValidatorContext:
             reads = self.reads(chrom, s - flank, s + flank, flank)
             if len(reads) > num_reads_cff:
                 ref_seq = self.fetch(chrom, s - flank, e + flank)
-                w = self.refine(ref_seq)
+                w = yield from self._refine_gen(ref_seq)
                 if w is not None:
                     alt_seq = ref_seq[:flank] + ref_seq[-flank:]
-                    if hasattr(self.backend, "score_del_batch"):
+                    if hasattr(self.backend, "score_del_batch_async"):
+                        s1, s2 = yield self.backend.score_del_batch_async(
+                            ref_seq, alt_seq, reads, w)
+                    elif hasattr(self.backend, "score_del_batch"):
                         s1, s2 = self.backend.score_del_batch(
                             ref_seq, alt_seq, reads, w)
                     else:
-                        s1 = self._score("abs_dis_m1b", ref_seq, alt_seq,
-                                         reads, w)
-                        s2 = self._score("within_10perc_m1b", ref_seq,
-                                         alt_seq, reads, w)
+                        s1 = yield self._score_async(
+                            "abs_dis_m1b", ref_seq, alt_seq, reads, w)
+                        s2 = yield self._score_async(
+                            "within_10perc_m1b", ref_seq, alt_seq,
+                            reads, w)
                     for a, b, read in zip(s1, s2, reads):
                         if 0 not in a and 0 not in b:
                             scores.append(min(1 - float(a[1]) / float(a[0]),
@@ -163,20 +215,21 @@ class ValidatorContext:
             reads = self.reads(chrom, s - flank, s + flank, flank)
             if len(reads) > num_reads_cff:
                 ref_seq = self.fetch(chrom, s - flank, s + flank)
-                if self.refine(ref_seq) is not None:
+                if (yield from self._refine_gen(ref_seq)) is not None:
                     alt_seq = self.fetch(chrom, s - flank, s) + \
                         self.fetch(chrom, e, e + flank)
-                    w = self.refine(alt_seq)
+                    w = yield from self._refine_gen(alt_seq)
                     if w is not None:
-                        raw = self._score("within_10perc_m1b", ref_seq,
-                                          alt_seq, reads, w)
+                        raw = yield self._score_async(
+                            "within_10perc_m1b", ref_seq, alt_seq,
+                            reads, w)
                         self._accumulate(raw, reads, scores, state)
                         self._figure(scores, state, w, ref_seq, alt_seq,
                                      fig_name)
         return scores
 
-    def validate_inv(self, num_reads_cff: int, sv_info: Sequence,
-                     fig_name: str = "") -> List[float]:
+    def validate_inv_gen(self, num_reads_cff: int, sv_info: Sequence,
+                         fig_name: str = ""):
         """pyx:1895-1933."""
         chrom, s, e = sv_info[0], int(sv_info[1]), int(sv_info[2])
         flank = flank_length_calculate([chrom, s, e])
@@ -184,38 +237,38 @@ class ValidatorContext:
         state: Dict = {}
         if e - s < self.cfg.max_sv_test:
             ref_seq = self.fetch(chrom, s - flank, e + flank)
-            if self.refine(ref_seq) is not None:
+            if (yield from self._refine_gen(ref_seq)) is not None:
                 alt_seq = ref_seq[:flank] + \
                     reverse_complement(ref_seq[flank:-flank]) + \
                     ref_seq[-flank:]
-                w = self.refine(alt_seq)
+                w = yield from self._refine_gen(alt_seq)
                 if w is not None:
                     reads = self.reads(chrom, s - flank, e + flank, flank)
                     if len(reads) > num_reads_cff:
-                        raw = self._score("abs_dis_m1b", ref_seq, alt_seq,
-                                          reads, w)
+                        raw = yield self._score_async(
+                            "abs_dis_m1b", ref_seq, alt_seq, reads, w)
                         self._accumulate(raw, reads, scores, state)
                         self._figure(scores, state, w, ref_seq, alt_seq,
                                      fig_name)
                         return scores
         # junction fallback (pyx:1918-1933)
         ref_seq = self.fetch(chrom, s - flank, s + flank)
-        if self.refine(ref_seq) is not None:
+        if (yield from self._refine_gen(ref_seq)) is not None:
             alt_seq = ref_seq[:flank] + \
                 self.fetch(chrom, e - flank, e, revcomp=True)
-            w = self.refine(alt_seq)
+            w = yield from self._refine_gen(alt_seq)
             if w is not None:
                 reads = self.reads(chrom, s - flank, s + flank, flank)
                 if len(reads) > num_reads_cff:
-                    raw = self._score("within_10perc_m1b", ref_seq, alt_seq,
-                                      reads, w)
+                    raw = yield self._score_async(
+                        "within_10perc_m1b", ref_seq, alt_seq, reads, w)
                     self._accumulate(raw, reads, scores, state)
                     self._figure(scores, state, w, ref_seq, alt_seq,
                                  fig_name)
         return scores
 
-    def validate_tandup(self, num_reads_cff: int, sv_info: Sequence,
-                        fig_name: str = "") -> List[float]:
+    def validate_tandup_gen(self, num_reads_cff: int, sv_info: Sequence,
+                            fig_name: str = ""):
         """pyx:1747-1784."""
         chrom, s, e = sv_info[0], int(sv_info[1]), int(sv_info[2])
         flank = flank_length_calculate([chrom, s, e])
@@ -223,39 +276,40 @@ class ValidatorContext:
         state: Dict = {}
         if e - s < self.cfg.max_sv_test:
             ref_seq = self.fetch(chrom, s - flank, e + flank)
-            if self.refine(ref_seq) is not None:
+            if (yield from self._refine_gen(ref_seq)) is not None:
                 body = ref_seq[flank:-flank]
                 alt_seq = ref_seq[:flank] + body + body + ref_seq[-flank:]
-                w = self.refine(alt_seq)
+                w = yield from self._refine_gen(alt_seq)
                 if w is not None:
                     reads = self.reads(chrom, s - flank,
                                        s + 2 * (e - s) + flank, flank)
                     if len(reads) > num_reads_cff:
-                        raw = self._score("redefine_diagonal", ref_seq,
-                                          alt_seq, reads, w)
+                        raw = yield self._score_async(
+                            "redefine_diagonal", ref_seq, alt_seq,
+                            reads, w)
                         self._accumulate(raw, reads, scores, state)
                         self._figure(scores, state, w, ref_seq, alt_seq,
                                      fig_name)
                         return scores
         # junction fallback (pyx:1769-1784)
         ref_seq = self.fetch(chrom, e - flank, e + flank)
-        if self.refine(ref_seq) is not None:
+        if (yield from self._refine_gen(ref_seq)) is not None:
             alt_seq = self.fetch(chrom, e - flank, e) + \
                 self.fetch(chrom, s, s + flank)
-            w = self.refine(alt_seq)
+            w = yield from self._refine_gen(alt_seq)
             if w is not None:
                 reads = self.reads(chrom, e - flank, e + flank, flank)
                 if len(reads) > num_reads_cff:
-                    raw = self._score("within_10perc_m1b", ref_seq, alt_seq,
-                                      reads, w)
+                    raw = yield self._score_async(
+                        "within_10perc_m1b", ref_seq, alt_seq, reads, w)
                     self._accumulate(raw, reads, scores, state)
                     self._figure(scores, state, w, ref_seq, alt_seq,
                                  fig_name)
         return scores
 
-    def validate_ins(self, num_reads_cff: int, ins_pos: str, ins_seq: str,
-                     polarity: str = "+", fig_name: str = ""
-                     ) -> List[float]:
+    def validate_ins_gen(self, num_reads_cff: int, ins_pos: str,
+                         ins_seq: str, polarity: str = "+",
+                         fig_name: str = ""):
         """pyx:1856-1893; ins_pos is 'chrom_pos'."""
         chrom = "_".join(ins_pos.split("_")[:-1])
         pos = int(ins_pos.split("_")[-1])
@@ -271,18 +325,18 @@ class ValidatorContext:
             if len(ins_seq) < self.cfg.ins_long_seq:
                 ref_seq = self.fetch(chrom, pos - flank,
                                      pos + flank + len(ins_seq))
-                w = self.refine(ref_seq + ins_seq)
+                w = yield from self._refine_gen(ref_seq + ins_seq)
             else:
                 ref_seq = self.fetch(chrom, pos - flank, pos + flank)
-                w = self.refine(ref_seq)
+                w = yield from self._refine_gen(ref_seq)
             if w is not None:
                 alt_seq = self.fetch(chrom, pos - flank, pos) + ins_seq_2 + \
                     self.fetch(chrom, pos, pos + flank)
                 evaluable = [r for r in reads if
                              (r[0].count("N") + r[0].count("n")) /
                              float(len(r[0])) < self.cfg.read_n_fraction_cff]
-                raw = self._score("abs_dis_m1b", ref_seq, alt_seq,
-                                  evaluable, w)
+                raw = yield self._score_async(
+                    "abs_dis_m1b", ref_seq, alt_seq, evaluable, w)
                 self._accumulate(raw, evaluable, scores, state)
                 if ins_seq_2.count("X") == len(ins_seq_2):
                     self._figure(scores, state, w, ref_seq,
@@ -292,8 +346,8 @@ class ValidatorContext:
                                  fig_name)
         return scores
 
-    def validate_disdup(self, num_reads_cff: int, sv_info: Sequence,
-                        fig_name: str = "") -> List[float]:
+    def validate_disdup_gen(self, num_reads_cff: int, sv_info: Sequence,
+                            fig_name: str = ""):
         """pyx:1786-1854; sv_info = [chr, dup_s, dup_e, ins_chr, ins_pos]."""
         chrom, dup_s, dup_e = sv_info[0], int(sv_info[1]), int(sv_info[2])
         ins_chrom, ins_pos = sv_info[3], int(sv_info[4])
@@ -306,7 +360,7 @@ class ValidatorContext:
                 self.cfg.max_sv_test:
             ref_seq = self.fetch(chrom, bp_info[0] - flank,
                                  bp_info[-1] + flank)
-            if self.refine(ref_seq) is not None:
+            if (yield from self._refine_gen(ref_seq)) is not None:
                 reads = self.reads(chrom, bp_info[0] - flank,
                                    bp_info[-1] + (dup_e - dup_s) + flank,
                                    flank)
@@ -327,10 +381,11 @@ class ValidatorContext:
                         alt_seq += a_seq if unit == "a" else b_seq
                     alt_seq += self.fetch(chrom, bp_info[-1],
                                           bp_info[-1] + flank)
-                    w = self.refine(alt_seq)
+                    w = yield from self._refine_gen(alt_seq)
                     if w is not None:
-                        raw = self._score("redefine_diagonal", ref_seq,
-                                          alt_seq, reads, w)
+                        raw = yield self._score_async(
+                            "redefine_diagonal", ref_seq, alt_seq,
+                            reads, w)
                         self._accumulate(raw, reads, scores, state)
                         self._figure(scores, state, w, ref_seq, alt_seq,
                                      fig_name)
@@ -341,14 +396,15 @@ class ValidatorContext:
                 if len(reads) > num_reads_cff:
                     ref_seq = self.fetch(ins_chrom, ins_pos - flank,
                                          ins_pos + flank)
-                    if self.refine(ref_seq) is not None:
+                    if (yield from self._refine_gen(ref_seq)) is not None:
                         alt_seq = ref_seq[:flank] + \
                             self.fetch(chrom, dup_s, dup_e) + \
                             ref_seq[-flank:]
-                        w = self.refine(alt_seq)
+                        w = yield from self._refine_gen(alt_seq)
                         if w is not None:
-                            raw = self._score("abs_dis_m1b", ref_seq,
-                                              alt_seq, reads, w)
+                            raw = yield self._score_async(
+                                "abs_dis_m1b", ref_seq, alt_seq,
+                                reads, w)
                             self._accumulate(raw, reads, scores, state)
                             self._figure(scores, state, w, ref_seq,
                                          alt_seq, fig_name)
@@ -358,20 +414,21 @@ class ValidatorContext:
                 if len(reads) > num_reads_cff:
                     ref_seq = self.fetch(ins_chrom, ins_pos - flank,
                                          ins_pos + flank)
-                    if self.refine(ref_seq) is not None:
+                    if (yield from self._refine_gen(ref_seq)) is not None:
                         alt_seq = ref_seq[:flank] + \
                             self.fetch(chrom, dup_s, dup_s + flank)
-                        w = self.refine(alt_seq)
+                        w = yield from self._refine_gen(alt_seq)
                         if w is not None:
-                            raw = self._score("within_10perc_m1b", ref_seq,
-                                              alt_seq, reads, w)
+                            raw = yield self._score_async(
+                                "within_10perc_m1b", ref_seq, alt_seq,
+                                reads, w)
                             self._accumulate(raw, reads, scores, state)
                             self._figure(scores, state, w, ref_seq,
                                          alt_seq, fig_name)
         return scores
 
-    def validate_dup_inv(self, num_reads_cff: int, sv_info: Sequence,
-                         fig_name: str = "") -> List[float]:
+    def validate_dup_inv_gen(self, num_reads_cff: int, sv_info: Sequence,
+                             fig_name: str = ""):
         """pyx:1595-1669; sv_info = [chr, dup_s, dup_e, ins_chr, ins_pos]."""
         chrom, dup_s, dup_e = sv_info[0], int(sv_info[1]), int(sv_info[2])
         ins_chrom, ins_pos = sv_info[3], int(sv_info[4])
@@ -385,7 +442,7 @@ class ValidatorContext:
         if bp_info[-1] - bp_info[0] < self.cfg.max_sv_test:
             ref_seq = self.fetch(chrom, bp_info[0] - flank,
                                  bp_info[-1] + flank)
-            if self.refine(ref_seq) is not None:
+            if (yield from self._refine_gen(ref_seq)) is not None:
                 run_flag = 1
                 if ins_pos > dup_e:
                     alt_structure = ["a", "b", "a^"]
@@ -407,10 +464,11 @@ class ValidatorContext:
                             if unit.endswith("^") else base
                     alt_seq += self.fetch(chrom, bp_info[-1],
                                           bp_info[-1] + flank)
-                    w = self.refine(alt_seq)
+                    w = yield from self._refine_gen(alt_seq)
                     if w is not None:
-                        raw = self._score("redefine_diagonal", ref_seq,
-                                          alt_seq, reads, w)
+                        raw = yield self._score_async(
+                            "redefine_diagonal", ref_seq, alt_seq,
+                            reads, w)
                         self._accumulate(raw, reads, scores, state,
                                          nan_guard=True)
                         self._figure(scores, state, w, ref_seq, alt_seq,
@@ -418,7 +476,7 @@ class ValidatorContext:
         if run_flag == 0:
             ref_seq = self.fetch(ins_chrom, ins_pos - flank,
                                  ins_pos + flank)
-            if self.refine(ref_seq) is not None:
+            if (yield from self._refine_gen(ref_seq)) is not None:
                 reads = self.reads(ins_chrom, ins_pos - flank,
                                    ins_pos + flank, flank)
                 if len(reads) > num_reads_cff:
@@ -431,18 +489,18 @@ class ValidatorContext:
                         alt_seq = ref_seq[:flank] + reverse_complement(
                             self.fetch(chrom, dup_e - flank, dup_e))
                         scorer = "within_10perc_m1b"
-                    w = self.refine(alt_seq)
+                    w = yield from self._refine_gen(alt_seq)
                     if w is not None:
-                        raw = self._score(scorer, ref_seq, alt_seq,
-                                          reads, w)
+                        raw = yield self._score_async(
+                            scorer, ref_seq, alt_seq, reads, w)
                         self._accumulate(raw, reads, scores, state,
                                          nan_guard=True)
                         self._figure(scores, state, w, ref_seq, alt_seq,
                                      fig_name)
         return scores
 
-    def validate_del_inv(self, num_reads_cff: int, sv_info: Sequence,
-                         fig_name: str = "") -> List[float]:
+    def validate_del_inv_gen(self, num_reads_cff: int, sv_info: Sequence,
+                             fig_name: str = ""):
         """pyx:1557-1593; sv_info = [[chr,s,e,'del'], [chr,s,e,'inv'],...]
         ordered by start."""
         sv_block = [sv_info[0][0], int(sv_info[0][1]), int(sv_info[-1][2])]
@@ -453,7 +511,7 @@ class ValidatorContext:
             if sv_block[2] - sv_block[1] < self.cfg.max_sv_test:
                 ref_seq = self.fetch(sv_block[0], sv_block[1] - flank,
                                      sv_block[2] + flank)
-                if self.refine(ref_seq) is not None:
+                if (yield from self._refine_gen(ref_seq)) is not None:
                     alt_seq = ref_seq[:flank]
                     for block in sv_info:
                         if block[-1] == "del":
@@ -462,40 +520,42 @@ class ValidatorContext:
                             alt_seq += reverse_complement(
                                 self.fetch(block[0], block[1], block[2]))
                     alt_seq += ref_seq[-flank:]
-                    w = self.refine(alt_seq)
+                    w = yield from self._refine_gen(alt_seq)
                     if w is not None:
                         reads = self.reads(
                             sv_block[0], sv_block[1] - flank,
                             sv_block[1] + len(alt_seq) - flank, flank)
                         if len(reads) > num_reads_cff:
-                            raw = self._score("abs_dis_m1b", ref_seq,
-                                              alt_seq, reads, w)
+                            raw = yield self._score_async(
+                                "abs_dis_m1b", ref_seq, alt_seq,
+                                reads, w)
                             self._accumulate(raw, reads, scores, state)
                             self._figure(scores, state, w, ref_seq,
                                          alt_seq, fig_name)
                         elif len(sv_info) == 2 and \
                                 [b[-1] for b in sv_info] == ["del", "inv"]:
-                            scores = self.validate_long_del_inv(
-                                num_reads_cff, sv_info, fig_name)
+                            scores = yield from \
+                                self.validate_long_del_inv_gen(
+                                    num_reads_cff, sv_info, fig_name)
             else:
                 if len(sv_info) == 2 and \
                         [b[-1] for b in sv_info] == ["del", "inv"]:
-                    scores = self.validate_long_del_inv(
+                    scores = yield from self.validate_long_del_inv_gen(
                         num_reads_cff, sv_info, fig_name)
         else:
             # non-adjacent blocks: dispatch each separately (the
             # reference's stale-signature call would crash, pyx:1591-1592)
             for block in sv_info:
                 if "del" in block:
-                    scores += self.validate_del(num_reads_cff, block[:-1],
-                                                fig_name)
+                    scores += yield from self.validate_del_gen(
+                        num_reads_cff, block[:-1], fig_name)
                 elif "inv" in block:
-                    scores += self.validate_inv(num_reads_cff, block[:-1],
-                                                fig_name)
+                    scores += yield from self.validate_inv_gen(
+                        num_reads_cff, block[:-1], fig_name)
         return scores
 
-    def validate_long_del_inv(self, num_reads_cff: int, sv_info: Sequence,
-                              fig_name: str = "") -> List[float]:
+    def validate_long_del_inv_gen(self, num_reads_cff: int,
+                                  sv_info: Sequence, fig_name: str = ""):
         """pyx:1671-1691 — breakpoint-junction mode for del+inv pairs."""
         flank = 500
         scores: List[float] = []
@@ -504,22 +564,22 @@ class ValidatorContext:
         i_chr, i_s, i_e = sv_info[1][0], int(sv_info[1][1]), \
             int(sv_info[1][2])
         ref_seq = self.fetch(d_chr, d_s - flank, i_s + flank)
-        if self.refine(ref_seq) is not None:
+        if (yield from self._refine_gen(ref_seq)) is not None:
             alt_seq = ref_seq[:flank] + reverse_complement(
                 self.fetch(i_chr, i_e - flank, i_e))
-            w = self.refine(alt_seq)
+            w = yield from self._refine_gen(alt_seq)
             if w is not None:
                 reads = self.reads(d_chr, d_s - flank, d_s + flank, flank)
                 if len(reads) > num_reads_cff:
-                    raw = self._score("within_10perc_m1b", ref_seq,
-                                      alt_seq, reads, w)
+                    raw = yield self._score_async(
+                        "within_10perc_m1b", ref_seq, alt_seq, reads, w)
                     self._accumulate(raw, reads, scores, state)
                     self._figure(scores, state, w, ref_seq, alt_seq,
                                  fig_name)
         return scores
 
-    def validate_complex(self, num_reads_cff: int, sv_info: Sequence,
-                         fig_name: str = "") -> List[float]:
+    def validate_complex_gen(self, num_reads_cff: int, sv_info: Sequence,
+                             fig_name: str = ""):
         """pyx:1490-1555 — generic letter-grammar events ('Other=')."""
         ref_sv = sv_info[0].split("_")
         alt_sv = _unique([h for h in sv_info[1].split("_")
@@ -534,7 +594,7 @@ class ValidatorContext:
             if bps[-1] - bps[1] < self.cfg.max_sv_test:
                 ref_seq = self.fetch(bps[0], bps[1] - flank,
                                      bps[-1] + flank)
-                if self.refine(ref_seq) is not None:
+                if (yield from self._refine_gen(ref_seq)) is not None:
                     reads = self.reads(bps[0], bps[1] - flank,
                                        bps[-1] + flank, flank)
                     let_hash = bp_to_chr_hash(bps, chromos, flank)
@@ -552,7 +612,7 @@ class ValidatorContext:
                                     alt_seq += reverse_complement(
                                         let_seq[unit[0]])
                             alt_seq += ref_seq[-flank:]
-                            w = self.refine(alt_seq)
+                            w = yield from self._refine_gen(alt_seq)
                             if w is None:
                                 continue
                             has_dup = max(
@@ -561,8 +621,8 @@ class ValidatorContext:
                             scorer = "redefine_diagonal" if has_dup \
                                 else "abs_dis_m1b"
                             state: Dict = {}
-                            raw = self._score(scorer, ref_seq, alt_seq,
-                                              reads, w)
+                            raw = yield self._score_async(
+                                scorer, ref_seq, alt_seq, reads, w)
                             self._accumulate(raw, reads, scores, state)
                             # per-allele figure name (pyx:1526)
                             parts = fig_name.split(".")
@@ -577,12 +637,12 @@ class ValidatorContext:
                     juncs = block_around_check(alt_allele, ref_sv[0])
                     let_hash = bp_to_chr_hash(bp_info[0], chromos, flank)
                     for junc in juncs:
-                        scores += self._score_junction(
+                        scores += yield from self._score_junction_gen(
                             num_reads_cff, junc, let_hash, flank)
         return scores
 
-    def _score_junction(self, num_reads_cff: int, junc: Sequence[str],
-                        let_hash: Dict, flank: int) -> List[float]:
+    def _score_junction_gen(self, num_reads_cff: int, junc: Sequence[str],
+                            let_hash: Dict, flank: int):
         """One novel-junction check of the complex fallback
         (pyx:1531-1549)."""
         scores: List[float] = []
@@ -600,17 +660,17 @@ class ValidatorContext:
         else:
             seq_b = self.fetch(h1[0], int(h1[2]) - flank,
                                int(h1[2]) + flank, revcomp=True)
-        if self.refine(seq_a + seq_b) is None:
+        if (yield from self._refine_gen(seq_a + seq_b)) is None:
             return scores
         alt_seq = seq_a[-flank:] + seq_b[:flank]
-        w = self.refine(alt_seq)
+        w = yield from self._refine_gen(alt_seq)
         if w is None:
             return scores
         anchor = int(h0[2]) if "^" not in j0 else int(h0[1])
         reads = self.reads(h0[0], anchor - flank, anchor + flank, flank)
         if len(reads) > 0:
-            raw = self._score("within_10perc_m1b", seq_a, alt_seq,
-                              reads, w)
+            raw = yield self._score_async(
+                "within_10perc_m1b", seq_a, alt_seq, reads, w)
             state: Dict = {}
             self._accumulate(raw, reads, scores, state)
         return scores
