@@ -72,6 +72,40 @@ def make_worklist(seed=1234):
     return events
 
 
+def _score_event_numpy(ev):
+    """Worker for the CPU-fallback process pool (module-level so it
+    pickles; each worker builds its own backend once)."""
+    global _WORKER_BE
+    try:
+        be = _WORKER_BE
+    except NameError:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from vapor_tpu.engine.scoring import get_backend
+        be = _WORKER_BE = get_backend("numpy")
+    ref_hap, alt_hap, reads = ev
+    return be.score_batch("abs_dis_m1b", ref_hap, alt_hap, reads,
+                          WINDOW)
+
+
+def bench_numpy_mp(events, repeats=3, procs=None):
+    """CPU-fallback throughput using every host core: the scoring work
+    is embarrassingly parallel across events, and the numpy oracle path
+    is GIL-bound, so processes (not threads) are the right unit when no
+    accelerator is reachable."""
+    from concurrent.futures import ProcessPoolExecutor
+    procs = procs or min(os.cpu_count() or 1, 8)
+    n_reads = sum(len(e[2]) for e in events)
+    best = float("inf")
+    with ProcessPoolExecutor(max_workers=procs) as pool:
+        list(pool.map(_score_event_numpy, events))      # warm workers
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            list(pool.map(_score_event_numpy, events))
+            best = min(best, time.perf_counter() - t0)
+    return n_reads / best
+
+
 def bench_ours(events, repeats=3, backend="jax",
                jobs=int(os.environ.get("BENCH_JOBS", "0"))):
     """Scores the worklist through the framework's async scoring API:
@@ -144,33 +178,45 @@ def bench_reference(events, budget_s=120.0):
     return done / (time.perf_counter() - t0)
 
 
-def _ensure_live_device(probe_timeout=180):
+def _ensure_live_device(
+        probe_timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT", "300")),
+        attempts=int(os.environ.get("BENCH_PROBE_ATTEMPTS", "2")),
+        backoff_s=30):
     """Probe device init in a subprocess; if it hangs or fails (e.g. a
-    wedged TPU tunnel), force the CPU platform so the benchmark always
+    wedged TPU tunnel), retry with backoff — relay outages are often
+    transient — then force the CPU platform so the benchmark always
     completes."""
     import subprocess
-    try:
-        subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); "
-             "import jax.numpy as jnp; "
-             "(jnp.ones((8,8)) @ jnp.ones((8,8))).block_until_ready()"],
-            timeout=probe_timeout, check=True, capture_output=True)
-        return True
-    except Exception:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-        print("bench: device probe failed — falling back to CPU",
-              file=sys.stderr)
-        return False
+    for i in range(attempts):
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); "
+                 "import jax.numpy as jnp; "
+                 "(jnp.ones((8,8)) @ jnp.ones((8,8))).block_until_ready()"],
+                timeout=probe_timeout, check=True, capture_output=True)
+            return True
+        except Exception:
+            print(f"bench: device probe attempt {i + 1}/{attempts} "
+                  "failed", file=sys.stderr)
+            if i + 1 < attempts:
+                time.sleep(backoff_s)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    print("bench: device unreachable — falling back to CPU",
+          file=sys.stderr)
+    return False
 
 
 def main():
     device_ok = _ensure_live_device()
     events = make_worklist()
-    # without an accelerator the numpy oracle outruns CPU-XLA
-    ours, backend = bench_ours(events,
-                               backend="jax" if device_ok else "numpy")
+    if device_ok:
+        ours, _ = bench_ours(events, backend="jax")
+    else:
+        # without an accelerator the numpy oracle outruns CPU-XLA;
+        # scale it across host cores (events are independent)
+        ours = bench_numpy_mp(events)
     if os.path.exists(REFERENCE_PYX):
         base = bench_reference(events)
     else:

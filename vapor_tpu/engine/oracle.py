@@ -123,12 +123,162 @@ def dots_from_weights(W: np.ndarray
         W[ii, jj].astype(np.int64)
 
 
+def _window_ids(arrays: List[np.ndarray], k: int) -> List[np.ndarray]:
+    """Integer ids of every length-k window of each code array, where
+    equal windows (across all arrays) share an id.  Windows are compared
+    as raw byte strings — exactly the equality the dense path tests."""
+    views = []
+    for c in arrays:
+        n = len(c) - k + 1
+        if n <= 0:
+            views.append(np.zeros((0, k), dtype=np.uint8))
+        else:
+            views.append(np.lib.stride_tricks.sliding_window_view(c, k))
+    flat = np.ascontiguousarray(np.concatenate(views, axis=0))
+    if flat.shape[0] == 0:
+        return [np.zeros(0, dtype=np.int64) for _ in arrays]
+    voids = flat.view(np.dtype((np.void, k))).ravel()
+    _, inv = np.unique(voids, return_inverse=True)
+    out, o = [], 0
+    for v in views:
+        out.append(inv[o: o + v.shape[0]].astype(np.int64))
+        o += v.shape[0]
+    return out
+
+
+def _match_pairs(hap_ids: np.ndarray, probe_ids: np.ndarray
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """All (i, p) with hap_ids[i] == probe_ids[p] (sparse join)."""
+    order = np.argsort(hap_ids, kind="stable").astype(np.int64)
+    sh = hap_ids[order]
+    lo = np.searchsorted(sh, probe_ids, side="left")
+    hi = np.searchsorted(sh, probe_ids, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return (np.zeros(0, dtype=np.int64),) * 2
+    pp = np.repeat(np.arange(len(probe_ids), dtype=np.int64), counts)
+    prefix = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    flat = np.repeat(lo, counts) + \
+        (np.arange(total, dtype=np.int64) - np.repeat(prefix, counts))
+    return order[flat], pp
+
+
+def _void_windows(c: np.ndarray, k: int) -> np.ndarray:
+    """Length-k windows of a code array as a sortable void array."""
+    if len(c) - k + 1 <= 0:
+        return np.zeros(0, dtype=np.dtype((np.void, k)))
+    w = np.ascontiguousarray(np.lib.stride_tricks.sliding_window_view(c, k))
+    return w.view(np.dtype((np.void, k))).ravel()
+
+
+class HapKmerIndex:
+    """Sorted k-mer window index of one haplotype, reused across every
+    read of an event: ``dots(read, miss)`` equals
+    ``dot_arrays(k, read, hap[miss:])`` exactly (the slice's windows are
+    the full haplotype's windows at positions >= miss), but the
+    O(H log H) haplotype sort is paid once instead of per read
+    (tests/test_sparse_dots.py::test_hap_index_matches_slice)."""
+
+    __slots__ = ("k", "hap_len", "order", "sorted")
+
+    def __init__(self, hap: str, k: int):
+        self.k = k
+        self.hap_len = len(hap)
+        v = _void_windows(encode(hap), k)
+        self.order = np.argsort(v, kind="stable").astype(np.int64)
+        self.sorted = v[self.order]
+
+    def _join(self, probe: np.ndarray
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        lo = np.searchsorted(self.sorted, probe, side="left")
+        hi = np.searchsorted(self.sorted, probe, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return (np.zeros(0, dtype=np.int64),) * 2
+        pp = np.repeat(np.arange(len(probe), dtype=np.int64), counts)
+        prefix = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        flat = np.repeat(lo, counts) + (
+            np.arange(total, dtype=np.int64) - np.repeat(prefix, counts))
+        return self.order[flat], pp
+
+    def dots(self, read: str, miss: int
+             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        k = self.k
+        c1 = encode(read)
+        n1 = len(c1)
+        mj = n1 - k + 1
+        z = np.zeros(0, dtype=np.int64)
+        if mj <= 0 or self.hap_len - miss - k + 1 <= 0:
+            return z, z, z
+        fi, fj = self._join(_void_windows(c1, k))
+        ri, rp = self._join(_void_windows(_COMP_LUT[c1][::-1], k))
+        rj = (n1 - k) - rp
+        i_all = np.concatenate([fi, ri])
+        j_all = np.concatenate([fj, rj])
+        sel = i_all >= miss
+        keys = (i_all[sel] - miss) * mj + j_all[sel]
+        if keys.size == 0:
+            return z, z, z
+        uniq, ww = np.unique(keys, return_counts=True)
+        return uniq // mj, uniq % mj, ww.astype(np.int64)
+
+
+_HAP_INDEX_CACHE: "OrderedDict" = None
+
+
+def _hap_index(hap: str, k: int) -> HapKmerIndex:
+    global _HAP_INDEX_CACHE
+    if _HAP_INDEX_CACHE is None:
+        from collections import OrderedDict
+        _HAP_INDEX_CACHE = OrderedDict()
+    key = (hap, k)
+    idx = _HAP_INDEX_CACHE.get(key)
+    if idx is None:
+        idx = _HAP_INDEX_CACHE[key] = HapKmerIndex(hap, k)
+        if len(_HAP_INDEX_CACHE) > 16:
+            _HAP_INDEX_CACHE.popitem(last=False)
+    return idx
+
+
+def dot_arrays(k: int, seq1: str, seq2: str
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """Sparse-exact (ii, jj, ww, n2, n1): identical to
+    ``dots_from_weights(dot_weight_matrix(k, seq1, seq2)[0])`` but built
+    by k-mer id joins in O((|seq1|+|seq2|)·log + dots) instead of the
+    dense O(|seq1|·|seq2|) windowed AND (tests/test_sparse_dots.py).
+
+    Forward dot (i, j): seq2[i:i+k] == seq1[j:j+k].  Inverted dot
+    (i, j): seq2[i:i+k] == revcomp(seq1[j:j+k]) — matching kmerhits'
+    inverted-key emission (pyx:1403-1422) as in the dense path.
+    """
+    c1 = encode(seq1)
+    c2 = encode(seq2)
+    n1, n2 = len(c1), len(c2)
+    mi, mj = n2 - k + 1, n1 - k + 1
+    if mi <= 0 or mj <= 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, n2, n1
+    rc1 = _COMP_LUT[c1][::-1]          # revcomp codes of seq1
+    hap_ids, fwd_ids, rc_ids = _window_ids([c2, c1, rc1], k)
+    fi, fj = _match_pairs(hap_ids, fwd_ids)
+    ri, rp = _match_pairs(hap_ids, rc_ids)
+    # rc window p starts at reversed position: j = n1 - k - p
+    rj = (n1 - k) - rp
+    keys = np.concatenate([fi * mj + fj, ri * mj + rj])
+    if keys.size == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, n2, n1
+    uniq, ww = np.unique(keys, return_counts=True)
+    return uniq // mj, uniq % mj, ww.astype(np.int64), n2, n1
+
+
 def dotdata(k: int, seq1: str, seq2: str) -> List[Tuple[int, int]]:
     """Expanded dot list [(i, j), ...] — multiset-equal to the reference
     ``dotdata`` (order may differ within an i; no consumer depends on it).
     """
-    W, _, _ = dot_weight_matrix(k, seq1, seq2)
-    ii, jj, ww = dots_from_weights(W)
+    ii, jj, ww, _, _ = dot_arrays(k, seq1, seq2)
     out: List[Tuple[int, int]] = []
     for i, j, w in zip(ii.tolist(), jj.tolist(), ww.tolist()):
         out.extend([(i, j)] * w)
@@ -299,12 +449,22 @@ class DotSet:
     __slots__ = ("ii", "jj", "ww", "n_dots", "i_min", "i_max", "hap_len")
 
     def __init__(self, k: int, read: str, hap: str):
-        W, _, _ = dot_weight_matrix(k, read, hap)
-        self.ii, self.jj, self.ww = dots_from_weights(W)
+        self.ii, self.jj, self.ww, _, _ = dot_arrays(k, read, hap)
+        self._finish(len(hap))
+
+    def _finish(self, hap_len: int):
         self.n_dots = int(self.ww.sum()) if self.ww.size else 0
         self.i_min = int(self.ii.min()) if self.ii.size else 0
         self.i_max = int(self.ii.max()) if self.ii.size else 0
-        self.hap_len = len(hap)
+        self.hap_len = hap_len
+
+    @classmethod
+    def from_index(cls, index: HapKmerIndex, read: str, miss: int
+                   ) -> "DotSet":
+        self = cls.__new__(cls)
+        self.ii, self.jj, self.ww = index.dots(read, miss)
+        self._finish(max(0, index.hap_len - miss))
+        return self
 
     @property
     def span(self) -> int:
@@ -313,7 +473,8 @@ class DotSet:
 
 def _pair(k: int, read: str, miss: int, ref_seq: str, alt_seq: str
           ) -> Tuple[DotSet, DotSet]:
-    return DotSet(k, read, ref_seq[miss:]), DotSet(k, read, alt_seq[miss:])
+    return (DotSet.from_index(_hap_index(ref_seq, k), read, miss),
+            DotSet.from_index(_hap_index(alt_seq, k), read, miss))
 
 
 def score_abs_dis_m1b(ref_seq: str, alt_seq: str, read: str, miss: int,

@@ -40,11 +40,52 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+_PROBE_OK = None
+
+
+def _device_reachable() -> bool:
+    """Probe accelerator init in a subprocess with a timeout: a wedged
+    TPU relay hangs device init forever, which would hang the CLI's
+    first device call.  Skipped (True) when the CPU platform is forced
+    — CPU-XLA init can't hang.  Result cached per process."""
+    global _PROBE_OK
+    if _PROBE_OK is not None:
+        return _PROBE_OK
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        _PROBE_OK = True
+        return True
+    try:
+        import jax
+        if jax.config.jax_platforms == "cpu":
+            _PROBE_OK = True
+            return True
+    except Exception:
+        pass
+    import subprocess
+    import sys
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); import jax.numpy as jnp; "
+             "(jnp.ones((8,8)) @ jnp.ones((8,8))).block_until_ready()"],
+            timeout=float(os.environ.get("VAPOR_PROBE_TIMEOUT", "120")),
+            check=True, capture_output=True)
+        _PROBE_OK = True
+    except Exception:
+        _PROBE_OK = False
+    return _PROBE_OK
+
+
 def get_backend(name: str = "auto"):
     """Resolve the scoring backend: 'numpy', 'jax', or 'auto'."""
     if name == "numpy":
         return NumpyBackend()
     if name in ("jax", "auto", "jax-batch"):
+        if name == "auto" and not _device_reachable():
+            import sys
+            print("vapor-tpu: accelerator unreachable — scoring on "
+                  "the numpy host backend", file=sys.stderr)
+            return NumpyBackend()
         try:
             _enable_compilation_cache()
             from .batching import BatchingBackend

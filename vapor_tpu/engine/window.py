@@ -21,8 +21,8 @@ from .cluster import xmeans_cluster_pairs
 
 def self_dot_arrays(window: int, seq: str
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    W, _, _ = oracle.dot_weight_matrix(window, seq, seq)
-    return oracle.dots_from_weights(W)
+    ii, jj, ww, _, _ = oracle.dot_arrays(window, seq, seq)
+    return ii, jj, ww
 
 
 def qual_check_repetitive_region(ii: np.ndarray, jj: np.ndarray,
