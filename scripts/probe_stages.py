@@ -92,6 +92,38 @@ def timeit(name, fn, sets):
     return dt
 
 
+def compare_hits_impls(sets):
+    """Marginal cost of each hits implementation + full pipeline."""
+    for impl in ("mxu", "packed"):
+        fused.HITS_IMPL = impl
+        jax.clear_caches()
+        timeit(f"hits/{impl}", run_stage_impl(impl), sets)
+        def run_full_i(s):
+            hps, rd, rc, rl, ms = s
+            return fused.fused_batch(hps, rd, rc, rl, ms, jnp.int32(0),
+                                     H=H, R=R, scorer="m1b")[2]
+        timeit(f"full/{impl}", run_full_i, sets)
+
+
+def run_stage_impl(impl):
+    fn = fused._HITS_IMPLS[impl]
+
+    @jax.jit
+    def batch(haps, reads, rcs, rlens, ms, k_idx):
+        def one(hap, read, rc, rlen, m):
+            Kf = fn(hap, read, k_idx, m)
+            Kr = _flip_to_dot_space(fn(hap, rc, k_idx, m), rlen,
+                                    10 * (k_idx + 1))
+            return (Kf.sum(dtype=jnp.int32) +
+                    Kr.sum(dtype=jnp.int32))[None]
+        return jax.vmap(one)(haps, reads, rcs, rlens, ms)
+
+    def f(s):
+        hps, rd, rc, rl, ms = s
+        return batch(hps, rd, rc, rl, ms, jnp.int32(0))
+    return f
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     sets = [tuple(jax.device_put(jnp.asarray(a)) for a in make_inputs(i))
@@ -108,7 +140,10 @@ if __name__ == "__main__":
         return fused.fused_batch(hps, rd, rc, rl, ms, jnp.int32(0),
                                  H=H, R=R, scorer="m1b")[2]
 
-    timeit("hits", run_stage("hits"), sets)
-    timeit("hists", run_stage("hists"), sets)
-    timeit("clusterU", run_stage("clusterU"), sets)
-    timeit("full", run_full, sets)
+    if os.environ.get("PROBE_IMPLS"):
+        compare_hits_impls(sets)
+    else:
+        timeit("hits", run_stage("hits"), sets)
+        timeit("hists", run_stage("hists"), sets)
+        timeit("clusterU", run_stage("clusterU"), sets)
+        timeit("full", run_full, sets)

@@ -128,3 +128,7 @@ def test_hits_mxu_equals_hits_normal():
                 jnp.asarray(hap), jnp.asarray(read), jnp.int32(k_idx),
                 jnp.int32(m)))
             assert np.array_equal(a, b), (k, m)
+            c = np.asarray(fused._hits_packed(
+                jnp.asarray(hap), jnp.asarray(read), jnp.int32(k_idx),
+                jnp.int32(m)))
+            assert np.array_equal(a, c), ("packed", k, m)

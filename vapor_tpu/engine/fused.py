@@ -140,6 +140,61 @@ def _hits_mxu(hap: jnp.ndarray, read: jnp.ndarray, k_idx: jnp.ndarray,
                       hap, read)
 
 
+# Packed-code hit detection: the k-mer at position i is identified by
+# ceil(k/8) uint32 "lane" codes (8 symbols x 4 bits per lane), built by
+# 1-D shift-or over the sequence; K[i, j] is then an AND of ~2-5 lane
+# equality compares — one elementwise pass over the (H, R) matrix, no
+# f32 matmul output and no k-deep shift-AND.  Injective on the 16 byte
+# values the backends admit (_VOCAB_OK: ACGTNacgtn, X/x/=, the three
+# pads), and windows running past a sequence end pick up side-specific
+# pad nibbles, so cross-side matches there are impossible — exactly
+# _hits_normal's zero-padded semantics (tests/test_fused_vs_oracle.py).
+_NIB_BYTES = bytes(_VOCAB) + b"Xx=" + bytes([HAP_PAD, READ_PAD, 0xFE])
+_NIB_LUT = np.full(256, 15, dtype=np.int32)
+for _i, _c in enumerate(_NIB_BYTES):
+    _NIB_LUT[_c] = _i
+
+
+def _pack_codes(seq: jnp.ndarray, k: int, pad_byte: int) -> jnp.ndarray:
+    """(L,) uint8 -> (lanes, L) uint32 rolling 4-bit-packed k-mer codes.
+
+    Lane l packs window symbols [8l, min(8l+8, k)); positions whose
+    window runs past the end pack pad nibbles (side-specific)."""
+    L = seq.shape[0]
+    lanes = -(-k // 8)
+    nib = jnp.asarray(_NIB_LUT, dtype=jnp.uint32)[seq]
+    ext = jnp.concatenate([nib, jnp.full((8 * lanes,),
+                                         int(_NIB_LUT[pad_byte]),
+                                         jnp.uint32)])
+    out = []
+    for lane in range(lanes):
+        acc = jnp.zeros((L,), jnp.uint32)
+        for t in range(min(8, k - 8 * lane)):
+            s = 8 * lane + t
+            acc = acc | (lax.slice_in_dim(ext, s, s + L)
+                         << jnp.uint32(4 * t))
+        out.append(acc)
+    return jnp.stack(out)
+
+
+def _hits_packed(hap: jnp.ndarray, read: jnp.ndarray, k_idx: jnp.ndarray,
+                 m: jnp.ndarray) -> jnp.ndarray:
+    """Packed-code version of _hits_normal (bit-identical output)."""
+    def one(k):
+        def f(hap, read):
+            ch = _pack_codes(hap, k, HAP_PAD)
+            cr = _pack_codes(read, k, READ_PAD)
+            K = ch[0][:, None] == cr[0][None, :]
+            for lane in range(1, ch.shape[0]):
+                K = K & (ch[lane][:, None] == cr[lane][None, :])
+            rows_ok = jax.lax.broadcasted_iota(
+                jnp.int32, (hap.shape[0], 1), 0) >= m
+            return K & rows_ok
+        return f
+    return lax.switch(k_idx, [one(10), one(20), one(30), one(40)],
+                      hap, read)
+
+
 def _flip_to_dot_space(Kq: jnp.ndarray, rlen: jnp.ndarray,
                        k: jnp.ndarray) -> jnp.ndarray:
     """Map reverse-complement hits (i, q) -> dot coordinates (i, j):
@@ -151,6 +206,13 @@ def _flip_to_dot_space(Kq: jnp.ndarray, rlen: jnp.ndarray,
     rolled = lax.dynamic_slice(two, (0, shift), (H, R))
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
     return rolled & (cols <= rlen - k)
+
+
+# hit-detection implementation selector (probes/tests flip this; the
+# jit cache keys on the function identity via HITS_IMPL's closure use)
+_HITS_IMPLS = {"packed": _hits_packed, "mxu": _hits_mxu,
+               "normal": _hits_normal}
+HITS_IMPL = "packed"
 
 
 # ---------------------------------------------------------------------------
@@ -399,10 +461,13 @@ def _fused_one(hap, read, rc, rlen, m, k_idx, H: int, R: int,
     """Everything for one (read, hap): gates, cleaning, moments."""
     W = hist_width(H, R)
     k = 10 * (k_idx + 1)
-    # MXU one-hot matmul hits on accelerators; the shift-AND VPU path
-    # on CPU, where bf16 matmuls are emulated ~50x slower.  Outputs are
-    # bit-identical (tests/test_fused_vs_oracle.py::test_hits_mxu).
-    hits = _hits_mxu if jax.default_backend() != "cpu" else _hits_normal
+    # Packed-code hits everywhere: ~3 VPU ops/cell in one elementwise
+    # pass, vs the one-hot MXU matmul (f32 (H, R) output) or the k-deep
+    # shift-AND.  All three are bit-identical (test_fused_vs_oracle);
+    # measured v5e marginal cost/row at H=R=3072: packed 0.09 ms vs
+    # MXU 0.22 ms (hits stage), and the f32 matmul output was the
+    # pipeline's largest HBM write.
+    hits = _HITS_IMPLS[HITS_IMPL]
     Kf = hits(hap, read, k_idx, m)
     Kr = _flip_to_dot_space(hits(hap, rc, k_idx, m), rlen, k)
 
