@@ -9,7 +9,6 @@ the outputs stay byte-identical.
 Usage: python scripts/e2e_pipeline_bench.py [n_events] [backend]
 """
 import os
-import random
 import sys
 import tempfile
 import time
@@ -18,44 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 from vapor_tpu.cli import main
-from vapor_tpu.io.bam import BamRecord, write_bam
-from vapor_tpu.io.fasta import write_fasta
-from vapor_tpu.sim.synth import apply_sv, random_genome, simulate_reads
-
-
-def build_worklist(tmpdir: str, n_events: int, spacing: int = 15000,
-                   span: int = 300, read_len: int = 2600, seed: int = 9):
-    rng = random.Random(seed)
-    contig = "chrE"
-    genome_len = spacing * (n_events + 1)
-    genome = random_genome(genome_len, seed=seed, name=contig)
-    ref = genome[contig]
-    reads = []
-    bed_lines = []
-    for i in range(n_events):
-        svtype = ("DEL", "INV", "DUP")[i % 3]
-        s0 = spacing * (i + 1)
-        e0 = s0 + span
-        hap = apply_sv(ref, svtype, s0, e0)
-        window = (max(0, s0 - 2200), s0 - 600)
-        reads += simulate_reads(ref, hap, 8, read_len, rng, 0.06,
-                                region=window, from_donor=True)
-        reads += simulate_reads(ref, ref, 8, read_len, rng, 0.06,
-                                region=window, from_donor=False)
-        bed_lines.append(f"{contig}\t{s0}\t{e0}\tSV{i}\t{svtype}")
-    reads.sort(key=lambda r: r[0])
-    records = [
-        BamRecord(name=f"r{i}", flag=0, ref_id=0, pos0=pos, mapq=60,
-                  cigar=cigar, seq=seq, qual=b"")
-        for i, (pos, seq, cigar) in enumerate(reads)]
-    fa = f"{tmpdir}/ref.fa"
-    bam = f"{tmpdir}/reads.bam"
-    bed = f"{tmpdir}/svs.bed"
-    write_fasta(fa, genome)
-    write_bam(bam, [(contig, genome_len)], records)
-    with open(bed, "w") as fh:
-        fh.write("\n".join(bed_lines) + "\n")
-    return fa, bam, bed
+from vapor_tpu.sim.scale import build_event_worklist as build_worklist
 
 
 def run(tmpdir, fa, bam, bed, backend, depth, tag):

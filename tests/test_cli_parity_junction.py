@@ -12,8 +12,9 @@ from test_cli_parity_vs_reference import harness  # noqa: F401
 from vapor_tpu.io.bam import BamRecord, write_bam
 from vapor_tpu.io.fasta import write_fasta, reverse_complement
 
-pytestmark = pytest.mark.skipif(not has_reference(),
-                                reason="reference checkout not mounted")
+pytestmark = [pytest.mark.refcli,
+              pytest.mark.skipif(not has_reference(),
+                                reason="reference checkout not mounted")]
 
 GENOME_LEN = 70000
 READ_LEN = 1700

@@ -16,8 +16,9 @@ import pytest
 from conftest import REFERENCE_DIR, has_reference
 from vapor_tpu.sim.synth import build_test_case
 
-pytestmark = pytest.mark.skipif(not has_reference(),
-                                reason="reference checkout not mounted")
+pytestmark = [pytest.mark.refcli,
+              pytest.mark.skipif(not has_reference(),
+                                reason="reference checkout not mounted")]
 
 SHIM = r'''#!/usr/bin/env python
 import sys

@@ -16,8 +16,9 @@ from conftest import REFERENCE_DIR, has_reference
 from vapor_tpu.engine import oracle
 from vapor_tpu.io.fasta import reverse_complement
 
-pytestmark = pytest.mark.skipif(not has_reference(),
-                                reason="reference checkout not mounted")
+pytestmark = [pytest.mark.refcli,
+              pytest.mark.skipif(not has_reference(),
+                                reason="reference checkout not mounted")]
 
 
 @pytest.fixture(scope="module")

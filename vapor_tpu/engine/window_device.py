@@ -34,7 +34,16 @@ from .window import qual_check_repetitive_region, self_dot_arrays
 def _self_stats(hap, rc, length, k_idx, H: int):
     W = hist_width(H, H)
     k = 10 * (k_idx + 1)
-    Kf = _hits_normal(hap, hap, k_idx, jnp.int32(0))
+    # the self-comparison matches hap against ITSELF, so the HAP_PAD
+    # tail self-matches — mask k-mer starts past length-k on both axes
+    # (the hap-vs-rc side needs no mask: the pads differ).  Without
+    # this the pad block floods the histogram and the refiner's gate
+    # fractions are garbage (empty seqs then crash the repeat-QC).
+    valid_r = jax.lax.broadcasted_iota(
+        jnp.int32, (H, 1), 0) <= (length - k)
+    valid_c = jax.lax.broadcasted_iota(
+        jnp.int32, (1, H), 1) <= (length - k)
+    Kf = _hits_normal(hap, hap, k_idx, jnp.int32(0)) & valid_r & valid_c
     Kr = _flip_to_dot_space(_hits_normal(hap, rc, k_idx, jnp.int32(0)),
                             length, k)
     Ksum = Kf.astype(jnp.int8) + Kr.astype(jnp.int8)

@@ -56,9 +56,12 @@ def _version_key(token: str):
 
 
 def merge_outputs(shard_outputs: Sequence[str], out_path: str,
-                  compress: bool = False) -> None:
+                  compress: bool = False, index: bool = True) -> None:
     """Concat shard `.vapor` files: one header, rows sorted by
-    (contig version-order, numeric position)."""
+    (contig version-order, numeric position).  With compress=True the
+    output is BGZF and (index=True) gets a tabix-compatible `.tbi`
+    alongside, like the reference's ConcatVaPoR task
+    (TasksBenchmark.wdl:303-309 bgzips then tabixes the concat)."""
     header: Optional[str] = None
     rows: List[List[str]] = []
     for path in shard_outputs:
@@ -75,6 +78,10 @@ def merge_outputs(shard_outputs: Sequence[str], out_path: str,
                              r[1].lstrip("-").isdigit() else 0))
     text = (header or "") + "".join("\t".join(r) for r in rows)
     if compress:
+        if index:
+            from .io.tabix import write_bgzf_indexed
+            write_bgzf_indexed(out_path, text)
+            return
         from .io.bam import BGZF_EOF, _bgzf_compress_block
         data = text.encode()
         with open(out_path, "wb") as fo:

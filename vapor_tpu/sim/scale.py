@@ -19,6 +19,47 @@ from .truthset import SVSpec, PlacedSV, apply_svs, place_svs
 READ_LEN = 2400
 
 
+def build_event_worklist(tmpdir: str, n_events: int,
+                         spacing: int = 15000, span: int = 300,
+                         read_len: int = 2600, seed: int = 9):
+    """Single-contig worklist of evenly spaced DEL/INV/DUP events with
+    het donor/reference spanning reads — the e2e throughput fixture
+    (bench.py and scripts/e2e_pipeline_bench.py).  Returns
+    (fasta, bam, bed)."""
+    from .synth import apply_sv, random_genome, simulate_reads
+    rng = random.Random(seed)
+    contig = "chrE"
+    genome_len = spacing * (n_events + 1)
+    genome = random_genome(genome_len, seed=seed, name=contig)
+    ref = genome[contig]
+    reads = []
+    bed_lines = []
+    for i in range(n_events):
+        svtype = ("DEL", "INV", "DUP")[i % 3]
+        s0 = spacing * (i + 1)
+        e0 = s0 + span
+        hap = apply_sv(ref, svtype, s0, e0)
+        window = (max(0, s0 - 2200), s0 - 600)
+        reads += simulate_reads(ref, hap, 8, read_len, rng, 0.06,
+                                region=window, from_donor=True)
+        reads += simulate_reads(ref, ref, 8, read_len, rng, 0.06,
+                                region=window, from_donor=False)
+        bed_lines.append(f"{contig}\t{s0}\t{e0}\tSV{i}\t{svtype}")
+    reads.sort(key=lambda r: r[0])
+    records = [
+        BamRecord(name=f"r{i}", flag=0, ref_id=0, pos0=pos, mapq=60,
+                  cigar=cigar, seq=seq, qual=b"")
+        for i, (pos, seq, cigar) in enumerate(reads)]
+    fa = f"{tmpdir}/ref.fa"
+    bam = f"{tmpdir}/reads.bam"
+    bed = f"{tmpdir}/svs.bed"
+    write_fasta(fa, genome)
+    write_bam(bam, [(contig, genome_len)], records)
+    with open(bed, "w") as fh:
+        fh.write("\n".join(bed_lines) + "\n")
+    return fa, bam, bed
+
+
 def _noisy(template: str, rng: random.Random, err: float = 0.05) -> str:
     out = []
     for ch in template:

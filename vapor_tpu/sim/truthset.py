@@ -25,7 +25,8 @@ from ..io.fasta import reverse_complement
 class SVSpec:
     """One row of the simulation spec table."""
     svtype: str                  # del, inv, tan_dup, dis_dup, ins,
-    #                              del_inv, dup_inv
+    #                              del_inv, dup_inv, dup_inv_ins,
+    #                              del_dup, del_dup_inv
     size_range: Tuple[int, int]
     count: int
     dup_times: int = 2           # tan_dup copy count (reference: <= 50)
@@ -47,6 +48,9 @@ DEFAULT_SPEC = [
     SVSpec("dis_dup", (100, 500), 2),
     SVSpec("ins", (100, 500), 3),
     SVSpec("del_inv", (100, 500), 2),
+    SVSpec("dup_inv_ins", (100, 500), 2),
+    SVSpec("del_dup", (300, 600), 2),
+    SVSpec("del_dup_inv", (300, 600), 2),
 ]
 
 
@@ -106,6 +110,40 @@ def place_svs(contig_len: int, chrom: str, specs: Sequence[SVSpec],
                                          e + 3 * buffer))
                     extra_ok = free(ip, ip + 1)
                     info["insert_point"] = ip
+                if spec.svtype == "dup_inv_ins":
+                    # reference dup_inv_ins variants
+                    # (generateVariantChromosomes.py:242-247):
+                    # ab/aba^ inserts revcomp(a) after b; ab/b^ab
+                    # inserts revcomp(b) before a
+                    variant = rng.choice(["ab/aba^", "ab/b^ab"])
+                    if variant == "ab/aba^":
+                        ip = rng.randint(e + buffer // 2,
+                                         min(contig_len - buffer,
+                                             e + 3 * buffer))
+                    else:
+                        ip = rng.randint(max(buffer, s - 3 * buffer),
+                                         s - buffer // 2)
+                    extra_ok = free(ip, ip + 1)
+                    info["insert_point"] = ip
+                    info["variant"] = variant
+                if spec.svtype in ("del_dup", "del_dup_inv"):
+                    # three blocks a|b|c inside [s, e); the variant
+                    # deletes one flank block and duplicates the other
+                    # into its place (:248-263)
+                    third = max(30, size // 3)
+                    m1 = s + rng.randint(third - third // 4,
+                                         third + third // 4)
+                    m2 = e - rng.randint(third - third // 4,
+                                         third + third // 4)
+                    if m2 <= m1 + 10:
+                        continue
+                    info["blocks"] = (s, m1, m2, e)
+                    if spec.svtype == "del_dup":
+                        info["variant"] = rng.choice(
+                            ["aba/abc", "cbc/abc"])
+                    else:
+                        info["variant"] = rng.choice(
+                            ["aba^/abc", "c^bc/abc"])
                 if spec.svtype == "tan_dup":
                     info["dup_times"] = spec.dup_times
                 if free(s, e) and extra_ok:
@@ -127,32 +165,60 @@ def apply_svs(ref: str, svs: Sequence[PlacedSV], rng: random.Random,
     edits: List[Tuple[int, int, str]] = []   # (start0, end0, replacement)
     for sv in svs:
         body = ref[sv.start0:sv.end0]
+        sv_edits: List[Tuple[int, int, str]] = []
         if sv.svtype == "del":
-            edits.append((sv.start0, sv.end0, ""))
+            sv_edits.append((sv.start0, sv.end0, ""))
         elif sv.svtype == "inv":
-            edits.append((sv.start0, sv.end0, reverse_complement(body)))
+            sv_edits.append((sv.start0, sv.end0,
+                             reverse_complement(body)))
         elif sv.svtype == "tan_dup":
             times = sv.info.get("dup_times", 2)
-            edits.append((sv.start0, sv.end0, body * times))
+            sv_edits.append((sv.start0, sv.end0, body * times))
         elif sv.svtype == "ins":
             ins = "".join(rng.choice("ACGT")
                           for _ in range(sv.end0 - sv.start0))
             sv.info["seq"] = ins
-            edits.append((sv.start0, sv.start0, ins))
+            sv_edits.append((sv.start0, sv.start0, ins))
         elif sv.svtype == "dis_dup":
             ip = sv.info["insert_point"]
-            edits.append((ip, ip, body))
+            sv_edits.append((ip, ip, body))
         elif sv.svtype == "dup_inv":
             ip = sv.info["insert_point"]
-            edits.append((ip, ip, reverse_complement(body)))
+            sv_edits.append((ip, ip, reverse_complement(body)))
+        elif sv.svtype == "dup_inv_ins":
+            # ab/aba^: revcomp(a) after b; ab/b^ab: revcomp(b) before a
+            # (generateVariantChromosomes.py:242-247 — the duplicated
+            # copy is the [start0, end0) block either way)
+            ip = sv.info["insert_point"]
+            sv_edits.append((ip, ip, reverse_complement(body)))
+        elif sv.svtype in ("del_dup", "del_dup_inv"):
+            # abc -> aba (delete c, copy of a in its place) or
+            # abc -> cbc; del_dup_inv inverts the duplicated copy
+            # (generateVariantChromosomes.py:248-263)
+            s, m1, m2, e = sv.info["blocks"]
+            variant = sv.info["variant"]
+            a_body, c_body = ref[s:m1], ref[m2:e]
+            if variant.startswith("aba"):       # delete c, dup a
+                repl = a_body if variant == "aba/abc" else \
+                    reverse_complement(a_body)
+                sv_edits.append((m2, e, repl))
+            else:                               # delete a, dup c
+                repl = c_body if variant == "cbc/abc" else \
+                    reverse_complement(c_body)
+                sv_edits.append((s, m1, repl))
         elif sv.svtype == "del_inv":
             mid = sv.start0 + (sv.end0 - sv.start0) // 2
             sv.info["del_block"] = (sv.start0, mid)
             sv.info["inv_block"] = (mid, sv.end0)
-            edits.append((sv.start0, sv.end0,
-                          reverse_complement(ref[mid:sv.end0])))
+            sv_edits.append((sv.start0, sv.end0,
+                             reverse_complement(ref[mid:sv.end0])))
         else:
             raise ValueError(sv.svtype)
+        # (position, length delta) pairs let callers map reference ->
+        # donor coordinates without re-deriving per-type semantics
+        sv.info["edits"] = [(s0, len(repl) - (e0 - s0))
+                            for s0, e0, repl in sv_edits]
+        edits.extend(sv_edits)
     donor = ref
     for s, e, repl in sorted(edits, key=lambda t: -t[0]):
         if rng.random() < micro_indel_rate:
@@ -164,7 +230,8 @@ def apply_svs(ref: str, svs: Sequence[PlacedSV], rng: random.Random,
 def write_truth_bed(path: str, svs: Sequence[PlacedSV]) -> None:
     label = {"del": "DEL", "inv": "INV", "tan_dup": "DUP",
              "dis_dup": "DISDUP", "ins": "INS", "del_inv": "DEL_INV",
-             "dup_inv": "DUP_INV"}
+             "dup_inv": "DUP_INV", "dup_inv_ins": "DUP_INV",
+             "del_dup": "DEL_DUP", "del_dup_inv": "DEL_DUP_INV"}
     with open(path, "w") as fo:
         for i, sv in enumerate(svs):
             fo.write(f"{sv.chrom}\t{sv.start0}\t{sv.end0}\tsv{i}\t"
@@ -196,6 +263,34 @@ def write_truth_vcf(path: str, svs: Sequence[PlacedSV],
         elif sv.svtype == "dup_inv":
             info = (f"SVTYPE=dup_inv;END={sv.end0};"
                     f"insert_point={sv.chrom}:{sv.info['insert_point']}")
+        elif sv.svtype == "dup_inv_ins":
+            # reference truth-set encoding: SVTYPE=dup_inv + Other=
+            # (Structural_Variants_het/chr10_svBreakpoints.vcf)
+            ip = sv.info["insert_point"]
+            variant = sv.info["variant"]
+            bps = (sv.start0, sv.end0, ip) if variant == "ab/aba^" \
+                else (ip, sv.start0, sv.end0)
+            other = f"ab/ab_{variant}_{sv.chrom}:" + \
+                ":".join(str(b) for b in bps)
+            info = (f"SVTYPE=dup_inv;END={sv.end0};"
+                    f"insert_point={sv.chrom}:{ip};Other={other}")
+        elif sv.svtype in ("del_dup", "del_dup_inv"):
+            s, m1, m2, e = sv.info["blocks"]
+            variant = sv.info["variant"]
+            if variant.startswith("aba"):   # delete c, duplicate a
+                del_blk, dup_blk = (m2, e), (s, m1)
+                dup_pos = m2
+            else:                           # delete a, duplicate c
+                del_blk, dup_blk = (s, m1), (m2, e)
+                dup_pos = s
+            dup_key = "dup" if sv.svtype == "del_dup" else "dup_inv"
+            other = (f"abc/abc_{variant}_{sv.chrom}:{s}:{m1}:{m2}:{e}")
+            info = (f"SVTYPE={sv.svtype};END={e};"
+                    f"del={sv.chrom}:{del_blk[0]}-{del_blk[1]};"
+                    f"{dup_key}={sv.chrom}:{dup_blk[0]}-{dup_blk[1]}")
+            if sv.svtype == "del_dup_inv":
+                info += f";insert_point={sv.chrom}:{dup_pos}"
+            info += f";Other={other}"
         elif sv.svtype == "del_inv":
             ds, de = sv.info["del_block"]
             vs, ve = sv.info["inv_block"]
