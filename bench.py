@@ -195,11 +195,16 @@ def bench_e2e(backend="jax", n_events=int(os.environ.get(
     def run(tag):
         out = f"{tmpdir}/out_{tag}.vapor"
         t0 = time.perf_counter()
-        rc = cli_main(["bed", "--sv-input", bed, "--reference", fa,
-                       "--pacbio-input", bam, "--output-path",
-                       f"{tmpdir}/figs", "--output-file", out,
-                       "--backend", backend, "--no-figures",
-                       "--pipeline", "8"])
+        # the CLI prints one line per event; keep bench stdout to the
+        # single JSON line the driver expects
+        import contextlib
+        with open(os.devnull, "w") as devnull, \
+                contextlib.redirect_stdout(devnull):
+            rc = cli_main(["bed", "--sv-input", bed, "--reference", fa,
+                           "--pacbio-input", bam, "--output-path",
+                           f"{tmpdir}/figs", "--output-file", out,
+                           "--backend", backend, "--no-figures",
+                           "--pipeline", "8"])
         assert rc == 0
         return time.perf_counter() - t0, out
 
