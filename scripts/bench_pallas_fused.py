@@ -59,23 +59,27 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     from vapor_tpu.engine.fused import _fused_batch_jit
-    from vapor_tpu.engine.pallas_fused import pallas_m1b_batch
+    from vapor_tpu.engine.pallas_fused import PALLAS_BATCHES
     import jax
     print("devices:", jax.devices(), flush=True)
 
-    for H, R, k in [(1536, 2048, 10), (3072, 3072, 10),
-                    (2048, 2048, 40)]:
+    for H, R, k, scorer in [(1536, 2048, 10, "m1b"),
+                            (3072, 3072, 10, "m1b"),
+                            (2048, 2048, 40, "m1b"),
+                            (3072, 3072, 10, "w10"),
+                            (3072, 3072, 10, "del"),
+                            (3072, 3072, 10, "rdd")]:
         batches = [tuple(jnp.asarray(a) for a in make_batch(H, R, B, s))
                    for s in range(3)]
 
         def xla(haps, reads, rcs, rlens, ms):
             return _fused_batch_jit(haps, reads, rcs, rlens, ms,
                                     jnp.int32(k // 10 - 1),
-                                    H=H, R=R, scorer="m1b")[2]
+                                    H=H, R=R, scorer=scorer)[2]
 
         def pallas(haps, reads, rcs, rlens, ms):
-            return pallas_m1b_batch(haps, reads, rcs, rlens, ms,
-                                    H=H, R=R, k=k)
+            return PALLAS_BATCHES[scorer](haps, reads, rcs, rlens, ms,
+                                          H=H, R=R, k=k)
 
         try:
             t_p = time_fn(pallas, batches, reps)
@@ -83,20 +87,30 @@ def main():
             a = np.asarray(pallas(*batches[0]))
             b = np.asarray(xla(*batches[0]))
         except Exception as e:
-            print(f"H={H} R={R} k={k}: pallas FAILED: {e!r}",
+            print(f"H={H} R={R} k={k} {scorer}: pallas FAILED: {e!r}",
                   flush=True)
             continue
         t_x = time_fn(xla, batches, reps)
 
         def dec(p):
             p = p.astype(np.int64)
-            return np.stack([
-                (p[:, 0] << 16) + p[:, 1] + (p[:, 2] << 16) + p[:, 3],
-                p[:, 4], p[:, 5],
-                (p[:, 6] << 16) + p[:, 7],
-                (p[:, 8] << 16) + p[:, 9]])
+            cols = [(p[:, 0] << 16) + p[:, 1] + (p[:, 2] << 16) +
+                    p[:, 3], p[:, 4], p[:, 5]]
+            m = p[:, 6:]
+            cols += [(m[:, 0] << 16) + m[:, 1],
+                     (m[:, 2] << 16) + m[:, 3],
+                     (m[:, 4] << 16) + m[:, 5],
+                     (m[:, 6] << 16) + m[:, 7],
+                     (m[:, 8] << 16) + (m[:, 9] << 16) + m[:, 10],
+                     (m[:, 11] << 16) + (m[:, 12] << 16) + m[:, 13]]
+            if m.shape[1] >= 28:
+                cols += [(m[:, 14] << 16) + m[:, 15],
+                         (m[:, 16] << 16) + m[:, 17],
+                         (m[:, 18] << 16) + m[:, 19]]
+            return np.stack(cols)
         ok = np.array_equal(dec(a), dec(b))
-        print(f"H={H} R={R} k={k} B={B}: pallas {t_p*1e3/B:.3f} ms/row"
+        print(f"H={H} R={R} k={k} {scorer} B={B}: "
+              f"pallas {t_p*1e3/B:.3f} ms/row"
               f"  xla {t_x*1e3/B:.3f} ms/row  speedup "
               f"{t_x/t_p:.2f}x  parity={'OK' if ok else 'MISMATCH'}",
               flush=True)

@@ -10,6 +10,7 @@ from vapor_tpu.engine.fused import _fused_batch_jit
 from vapor_tpu.engine.kernel import HAP_PAD, READ_PAD
 from vapor_tpu.engine.pallas_fused import (pallas_del_batch,
                                            pallas_m1b_batch,
+                                           pallas_rdd_batch,
                                            pallas_w10_batch)
 
 
@@ -23,6 +24,9 @@ def _decode(packed):
         "cnt": (m[:, 0] << 16) + m[:, 1],
         "sum_absd": (m[:, 2] << 16) + m[:, 3],
         "w10": (m[:, 4] << 16) + m[:, 5],
+        "sel_cnt": (m[:, 6] << 16) + m[:, 7],
+        "sel_pos": (m[:, 8] << 16) + (m[:, 9] << 16) + m[:, 10],
+        "sel_neg": (m[:, 11] << 16) + (m[:, 12] << 16) + m[:, 13],
     }
     if m.shape[1] >= 28:
         out["cnt2"] = (m[:, 14] << 16) + m[:, 15]
@@ -44,7 +48,7 @@ def _batch(H, R, B, seed, err=0.1, with_rc_hits=True):
     for b in range(B):
         hap = bases[rng.integers(0, 4, hap_len)]
         haps[b, :hap_len] = hap
-        rlen = int(R - rng.integers(10, 80))
+        rlen = min(int(R - rng.integers(10, 80)), hap_len)
         src = hap[:rlen].copy()
         if with_rc_hits and b % 3 == 0 and rlen > 220:
             # embed a revcomp segment so the reverse strand fires
@@ -64,7 +68,7 @@ def _batch(H, R, B, seed, err=0.1, with_rc_hits=True):
 
 
 PALLAS = {"m1b": pallas_m1b_batch, "w10": pallas_w10_batch,
-          "del": pallas_del_batch}
+          "del": pallas_del_batch, "rdd": pallas_rdd_batch}
 
 
 def _check(scorer, H, R, k, B=6, err=0.1):
@@ -108,3 +112,62 @@ def test_pallas_w10_matches_xla(H, R, k):
 ])
 def test_pallas_del_matches_xla(H, R, k, err):
     _check("del", H, R, k, err=err)
+
+
+@pytest.mark.parametrize("H,R,k,err", [
+    (256, 256, 10, 0.1),
+    (512, 384, 10, 0.04),   # dense diagonals: intercept fit resolves
+    (768, 512, 20, 0.1),
+])
+def test_pallas_rdd_matches_xla(H, R, k, err):
+    _check("rdd", H, R, k, err=err)
+
+
+def test_pallas_chunking_pads_rows():
+    # row counts not divisible by the chunk width pad internally and
+    # return exactly B rows, identical to the XLA engine
+    H, R, k = 256, 256, 10
+    for B in (1, 3, 11):
+        haps, reads, rcs, rlens, ms = _batch(H, R, B, seed=B)
+        got = pallas_m1b_batch(haps, reads, rcs, rlens, ms,
+                               H=H, R=R, k=k, interpret=True)
+        _, _, want = _fused_batch_jit(haps, reads, rcs, rlens, ms,
+                                      jnp.int32(0), H=H, R=R,
+                                      scorer="m1b")
+        assert got.shape[0] == B
+        dg, dw = _decode(got), _decode(want)
+        for key in dg:
+            assert np.array_equal(dg[key], dw[key]), key
+
+
+def test_fused_batch_routes_to_pallas(monkeypatch):
+    # VAPOR_TPU_PALLAS=force routes the production entry through the
+    # pallas engine (interpret mode on CPU) with identical packed rows
+    from vapor_tpu.engine import fused
+    H, R, k = 256, 256, 10
+    haps, reads, rcs, rlens, ms = _batch(H, R, 4, seed=7)
+    _, _, want = fused.fused_batch(haps, reads, rcs, rlens, ms,
+                                   jnp.int32(0), H=H, R=R,
+                                   scorer="m1b")
+    monkeypatch.setenv("VAPOR_TPU_PALLAS", "force")
+    # the 8-virtual-device conftest mesh would intercept first; force
+    # the single-device route so the pallas branch is reachable
+    from vapor_tpu.parallel import mesh
+    monkeypatch.setattr(mesh, "maybe_mesh_rows",
+                        lambda *a, **kw: None)
+    called = {}
+    real = fused._maybe_pallas_rows
+
+    def spy(*a, **kw):
+        out = real(*a, **kw)
+        called["pallas"] = out is not None
+        return out
+
+    monkeypatch.setattr(fused, "_maybe_pallas_rows", spy)
+    _, _, got = fused.fused_batch(haps, reads, rcs, rlens, ms,
+                                  jnp.int32(0), H=H, R=R,
+                                  scorer="m1b")
+    assert called.get("pallas"), "pallas path was not taken"
+    dg, dw = _decode(got), _decode(want)
+    for key in dg:
+        assert np.array_equal(dg[key], dw[key]), key

@@ -26,6 +26,7 @@ math in f64 exactly like the oracle.  Parity: tests/test_fused_vs_oracle.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence
 
 import numpy as np
@@ -573,6 +574,39 @@ def _chunked_rows(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
     return out.reshape(n_chunks * width, -1)
 
 
+def _maybe_pallas_rows(haps, reads, rcs, rlens, ms, k_idx, H: int,
+                       R: int, scorer: str):
+    """Route to the full-fusion Pallas engine when it applies.
+
+    On by default on TPU (it beats the XLA path at every production
+    bucket on v5e: 1.16-1.47x, scripts/bench_pallas_fused.py); off on
+    CPU where Mosaic kernels only run interpreted.  VAPOR_TPU_PALLAS=0
+    disables, =force enables even on CPU (interpret mode — tests).
+    Buckets whose kernels fail to compile are probed once and fall
+    back to the XLA engine permanently (pallas_fused.probe_bucket)."""
+    if scorer not in ("m1b", "w10", "del", "rdd"):
+        return None
+    env = os.environ.get("VAPOR_TPU_PALLAS", "auto").lower()
+    if env in ("0", "off", "no"):
+        return None
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return None
+    interpret = platform == "cpu"
+    if interpret and env not in ("force", "interpret"):
+        return None
+    try:
+        k = 10 * (int(k_idx) + 1)    # traced k_idx -> XLA path
+    except Exception:
+        return None
+    from .pallas_fused import PALLAS_BATCHES, probe_bucket
+    if not probe_bucket(H, R, k, scorer, interpret=interpret):
+        return None
+    return PALLAS_BATCHES[scorer](haps, reads, rcs, rlens, ms,
+                                  H=H, R=R, k=k, interpret=interpret)
+
+
 def fused_batch(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
                 scorer: str, want_hists: bool = False):
     """Batched per-(read, hap) stats — the production scoring entry.
@@ -581,14 +615,20 @@ def fused_batch(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
     device CPU mesh in tests) the work rows are sharded across a `dp`
     mesh (parallel.mesh.maybe_mesh_rows) — the same code path the
     driver's dryrun_multichip exercises; single-device falls through to
-    the jitted host-launch below.  Per-row math is integer-exact either
-    way, so outputs are bit-identical across meshings."""
+    the full-fusion Pallas engine on TPU (pallas_fused.py) or the
+    jitted XLA launch below.  Per-row math is integer-exact in every
+    variant, so outputs are bit-identical across meshings and engines
+    (tests/test_pallas_fused.py, test_mesh_parity.py)."""
     if not want_hists:
         from ..parallel.mesh import maybe_mesh_rows
         packed = maybe_mesh_rows(haps, reads, rcs, rlens, ms, k_idx,
                                  H, R, scorer,
                                  width=min(_vmap_width(H, R),
                                            reads.shape[0]))
+        if packed is not None:
+            return None, None, packed
+        packed = _maybe_pallas_rows(haps, reads, rcs, rlens, ms, k_idx,
+                                    H, R, scorer)
         if packed is not None:
             return None, None, packed
     return _fused_batch_jit(haps, reads, rcs, rlens, ms, k_idx,

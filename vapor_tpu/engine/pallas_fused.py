@@ -70,19 +70,24 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _tile_h(H: int) -> int:
-    """H-tile height: every bucket is a multiple of 256; 512 where it
-    divides (fewer grid steps), bounded by H itself."""
-    if H % 512 == 0 and H >= 512:
-        return 512
-    return min(256, H)
+def _tile_h(H: int, R: int) -> int:
+    """H-tile height: power-of-two multiple of 128 dividing H (buckets
+    are multiples of 256), sized so the in-kernel skew pyramid buffer
+    TH x round_up(TH+R-1, 128) x int32 stays ~<=6 MB — at TH=512,
+    R=3072 the 7.3 MB buffer blows the 16 MB scoped-VMEM limit
+    (measured on v5e via the AOT compiler), while TH=256 fits."""
+    th = 512
+    while th > 128 and (H % th or
+                        th * _round_up(th + R - 1, 128) * 4 > 6 << 20):
+        th //= 2
+    return min(th, H)
 
 
 def _consts(H: int, R: int):
     """(TH, L, L128, W, WSX): tile height, skew-row width, its 128-pad,
     dot-space histogram width, and the padded scratch/table width that
     fits every placement window plus the XLA-side rc shifts."""
-    TH = _tile_h(H)
+    TH = _tile_h(H, R)
     L = TH + R - 1
     L128 = _round_up(L, 128)
     W = hist_width(H, R)
@@ -443,6 +448,208 @@ def left_hist_pass(ms, rlens, ch, cf, cq, kd_d, kd_rc, lanes: int,
 
 
 # ---------------------------------------------------------------------------
+# pass A3: d-histogram of kept cells (rdd intercept re-centering input)
+# ---------------------------------------------------------------------------
+
+def _kept_hist_kernel(ms, rlens, ch, cf, cq, kdd, kaa, kdr, kar,
+                      hfd_o, hrd_o, hfd, hrd, *, lanes: int, TH: int,
+                      H: int, R: int, L128: int, WSX: int, k: int,
+                      n_th: int):
+    """d-histogram parts of cells KEPT by the m1b tables — the input
+    to the redefine-diagonal intercept fit (pyx:241-258, 582-592)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    i0 = t * TH
+    m = ms[b]
+
+    @pl.when(t == 0)
+    def _init():
+        hfd[:] = jnp.zeros((1, WSX), jnp.int32)
+        hrd[:] = jnp.zeros((1, WSX), jnp.int32)
+
+    ch_t = ch[0]
+    li = lax.broadcasted_iota(jnp.int32, (TH, 1), 0)
+    rows_ok = (li + i0) >= m
+    Kf = _hits_tile(ch_t, cf[0], lanes) & rows_ok
+    Kq = _hits_tile(ch_t, cq[0], lanes) & rows_ok
+
+    keep_f = _keep_masks(kdd, kaa, i0, TH, H, R, L128)
+    keep_q = _keep_masks(kdr, kar, i0, TH, H, R, L128)
+
+    _acc(hfd, _tile_skew(Kf & keep_f, -1, L128), _start_d(i0, H, TH))
+    _acc(hrd, _tile_skew(Kq & keep_q, -1, L128), _start_d(i0, H, TH))
+
+    @pl.when(t == n_th - 1)
+    def _flush():
+        hfd_o[0, 0, :] = hfd[0, :]
+        hrd_o[0, 0, :] = hrd[0, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lanes", "H", "R", "k", "interpret"))
+def kept_hist_pass(ms, rlens, ch, cf, cq, kd_d, ka_a, kd_rc, ka_rc,
+                   lanes: int, H: int, R: int, k: int,
+                   interpret: bool = False):
+    """-> h_d_kept (B, W) in dot space (rc part shifted per row)."""
+    B = ch.shape[0]
+    TH, L, L128, W, WSX = _consts(H, R)
+    n_th = H // TH
+    kern = functools.partial(_kept_hist_kernel, lanes=lanes, TH=TH,
+                             H=H, R=R, L128=L128, WSX=WSX, k=k,
+                             n_th=n_th)
+    wide = pl.BlockSpec((1, 1, WSX), lambda b, t, *_: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    hfd, hrd = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, n_th),
+            in_specs=[
+                pl.BlockSpec((1, lanes, TH), lambda b, t, *_: (b, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lanes, R), lambda b, t, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lanes, R), lambda b, t, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                wide, wide, wide, wide,
+            ],
+            out_specs=[wide, wide],
+            scratch_shapes=[
+                pltpu.VMEM((1, WSX), jnp.int32),
+                pltpu.VMEM((1, WSX), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, WSX), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, WSX), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ms, rlens, ch, cf, cq, kd_d, ka_a, kd_rc, ka_rc)
+    hfd = hfd.reshape(B, WSX)
+    hrd = hrd.reshape(B, WSX)
+    shift = _rc_shift(rlens, k, R)
+
+    # slice at BIAS_D (not BIAS_D+1): the in-kernel d-placement puts
+    # j - i + H at part index BIAS_D + (j - i + H) - ... one below the
+    # gap-clustering convention; clustering is shift-invariant so the
+    # other passes don't care, but the intercept fit reads absolute
+    # positions (v = idx - H must equal j - i exactly, fused:359-412)
+    def one(fd, rd, sh):
+        return lax.dynamic_slice(fd, (BIAS_D,), (W,)) + \
+            lax.dynamic_slice(rd, (BIAS_D - sh,), (W,))
+
+    return jax.vmap(one)(hfd, hrd, shift)
+
+
+# ---------------------------------------------------------------------------
+# pass B3: redefine-diagonal moments (sel block, per-row intercept z)
+# ---------------------------------------------------------------------------
+
+def _rdd_moment_kernel(ms, rlens, zs, ch, cf, cq, kdd, kaa, kdr, kar,
+                       mom_out, cnt_s, sd_s, sel_s, ph_s, pl_s, nh_s,
+                       nl_s, *, lanes: int, TH: int, H: int, R: int,
+                       L128: int, k: int, n_th: int):
+    """Masked moments + the directed-redefine-diagonal selection block
+    (fused._moment_block want_sel semantics, pyx:241-258, 718-723)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    i0 = t * TH
+    m = ms[b]
+    rlen = rlens[b]
+    z = zs[b]
+
+    @pl.when(t == 0)
+    def _init():
+        for ref in (cnt_s, sd_s, sel_s, ph_s, pl_s, nh_s, nl_s):
+            ref[:] = jnp.zeros((1, R), jnp.int32)
+
+    ch_t = ch[0]
+    li = lax.broadcasted_iota(jnp.int32, (TH, 1), 0)
+    rows_ok = (li + i0) >= m
+    Kf = _hits_tile(ch_t, cf[0], lanes) & rows_ok
+    Kq = _hits_tile(ch_t, cq[0], lanes) & rows_ok
+
+    keep_f = _keep_masks(kdd, kaa, i0, TH, H, R, L128)
+    keep_q = _keep_masks(kdr, kar, i0, TH, H, R, L128)
+
+    gi = li + i0
+    ip = gi - m
+    cols = lax.broadcasted_iota(jnp.int32, (TH, R), 1)
+    den0 = 2 * ip + z
+    den = jnp.where(den0 == 0, jnp.abs(den0 + 2), jnp.abs(den0))
+    for K, keep, d in ((Kf, keep_f, cols - ip),
+                       (Kq, keep_q, (rlen - k - R + 1) + cols - ip)):
+        M = (K & keep).astype(jnp.int32)
+        cnt_s[0, :] = cnt_s[0, :] + jnp.sum(M, axis=0)
+        sd_s[0, :] = sd_s[0, :] + jnp.sum(M * jnp.abs(d), axis=0)
+        val = z - 2 * d
+        sel = M * (10 * jnp.abs(val) > den)
+        sel_s[0, :] = sel_s[0, :] + jnp.sum(sel, axis=0)
+        pv = jnp.maximum(val, 0)
+        nv = jnp.maximum(-val, 0)
+        ph_s[0, :] = ph_s[0, :] + jnp.sum(sel * (pv >> 16), axis=0)
+        pl_s[0, :] = pl_s[0, :] + jnp.sum(sel * (pv & 0xFFFF), axis=0)
+        nh_s[0, :] = nh_s[0, :] + jnp.sum(sel * (nv >> 16), axis=0)
+        nl_s[0, :] = nl_s[0, :] + jnp.sum(sel * (nv & 0xFFFF), axis=0)
+
+    @pl.when(t == n_th - 1)
+    def _flush():
+        mom_out[0, 0, 0] = jnp.sum(cnt_s[0, :] >> 16)
+        mom_out[0, 0, 1] = jnp.sum(cnt_s[0, :] & 0xFFFF)
+        mom_out[0, 0, 2] = jnp.sum(sd_s[0, :] >> 16)
+        mom_out[0, 0, 3] = jnp.sum(sd_s[0, :] & 0xFFFF)
+        mom_out[0, 0, 4] = 0
+        mom_out[0, 0, 5] = 0
+        mom_out[0, 0, 6] = jnp.sum(sel_s[0, :] >> 16)
+        mom_out[0, 0, 7] = jnp.sum(sel_s[0, :] & 0xFFFF)
+        mom_out[0, 0, 8] = jnp.sum(ph_s[0, :])
+        mom_out[0, 0, 9] = jnp.sum(pl_s[0, :] >> 16)
+        mom_out[0, 0, 10] = jnp.sum(pl_s[0, :] & 0xFFFF)
+        mom_out[0, 0, 11] = jnp.sum(nh_s[0, :])
+        mom_out[0, 0, 12] = jnp.sum(nl_s[0, :] >> 16)
+        mom_out[0, 0, 13] = jnp.sum(nl_s[0, :] & 0xFFFF)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lanes", "H", "R", "k", "interpret"))
+def rdd_moment_pass(ms, rlens, zs, ch, cf, cq, kd_d, ka_a, kd_rc,
+                    ka_rc, lanes: int, H: int, R: int, k: int,
+                    interpret: bool = False):
+    """-> (B, 14) int32 moment rows with the sel block populated."""
+    B = ch.shape[0]
+    TH, L, L128, W, WSX = _consts(H, R)
+    n_th = H // TH
+    kern = functools.partial(_rdd_moment_kernel, lanes=lanes, TH=TH,
+                             H=H, R=R, L128=L128, k=k, n_th=n_th)
+    wide = pl.BlockSpec((1, 1, WSX), lambda b, t, *_: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, n_th),
+            in_specs=[
+                pl.BlockSpec((1, lanes, TH), lambda b, t, *_: (b, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lanes, R), lambda b, t, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lanes, R), lambda b, t, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                wide, wide, wide, wide,
+            ],
+            out_specs=pl.BlockSpec((1, 1, 14),
+                                   lambda b, t, *_: (b, 0, 0),
+                                   memory_space=pltpu.SMEM),
+            scratch_shapes=[pltpu.VMEM((1, R), jnp.int32)
+                            for _ in range(7)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 1, 14), jnp.int32),
+        interpret=interpret,
+    )(ms, rlens, zs, ch, cf, cq, kd_d, ka_a, kd_rc,
+      ka_rc).reshape(B, 14)
+
+
+# ---------------------------------------------------------------------------
 # pass B: masked moments (single keep set)
 # ---------------------------------------------------------------------------
 
@@ -508,7 +715,7 @@ def moment_pass(ms, rlens, ch, cf, cq, kd_d, ka_a, kd_rc, ka_rc,
                 lanes: int, H: int, R: int, k: int,
                 want_w10: bool = False, interpret: bool = False):
     """Masked moments -> (B, 14) int32 rows in _moment_block order
-    (sel block zeroed; rdd stays on the XLA path)."""
+    (sel block zeroed; rdd uses rdd_moment_pass instead)."""
     B = ch.shape[0]
     TH, L, L128, W, WSX = _consts(H, R)
     n_th = H // TH
@@ -663,6 +870,35 @@ def moment2_pass(ms, rlens, ch, cf, cq, t1, t2, lanes: int, H: int,
 # assembled row batches
 # ---------------------------------------------------------------------------
 
+# rows per inner pallas launch: keeps every kernel's (B_chunk, WSX)
+# output block small enough that XLA's scoped-VMEM assignment of the
+# custom-call results can never overflow at large batched row counts
+# (the batching ladder reaches 256 rows; at WSX~10k that is ~40 MB of
+# int32 parts), and bounds Mosaic compiles to one per (H, R, k, pass)
+CHUNK = 8
+
+
+def _chunked(body, haps, reads, rcs, rlens, ms):
+    """Pad rows to a CHUNK multiple and lax.map `body` over chunks."""
+    B = reads.shape[0]
+    pad = (-B) % CHUNK
+    if pad:
+        haps = jnp.pad(haps, ((0, pad), (0, 0)),
+                       constant_values=HAP_PAD)
+        reads = jnp.pad(reads, ((0, pad), (0, 0)),
+                        constant_values=READ_PAD)
+        rcs = jnp.pad(rcs, ((0, pad), (0, 0)), constant_values=READ_PAD)
+        rlens = jnp.pad(rlens, (0, pad), constant_values=1)
+        ms = jnp.pad(ms, (0, pad))
+    n = reads.shape[0] // CHUNK
+    out = lax.map(body, (haps.reshape(n, CHUNK, -1),
+                         reads.reshape(n, CHUNK, -1),
+                         rcs.reshape(n, CHUNK, -1),
+                         rlens.reshape(n, CHUNK),
+                         ms.reshape(n, CHUNK)))
+    return out.reshape(n * CHUNK, -1)[:B]
+
+
 def _codes_and_hists(haps, reads, rcs, rlens, ms, H, R, k, interpret):
     lanes = _lanes(k)
     ch = pack_codes_host(haps, k, HAP_PAD)
@@ -707,13 +943,7 @@ def _w10_tables(ms, rlens, ch, cf, cq, h_d, lanes, H, R, k, interpret):
     return full
 
 
-@functools.partial(jax.jit, static_argnames=("H", "R", "k", "interpret"))
-def pallas_m1b_batch(haps, reads, rcs, rlens, ms, H: int, R: int,
-                     k: int, interpret: bool = False):
-    """Packed stats rows for scorer='m1b': 6 scalar + 14 moment int32
-    columns whose FusedStats decoding matches the XLA engine exactly
-    (the hi/lo packing differs — per-total instead of per-column — but
-    reconstructs to the same integers)."""
+def _m1b_rows(haps, reads, rcs, rlens, ms, H, R, k, interpret):
     lanes, ch, cf, cq, rlens, ms, h_d, h_a, sc = _codes_and_hists(
         haps, reads, rcs, rlens, ms, H, R, k, interpret)
     kd_d, ka_a, kd_rc, ka_rc = _m1b_tables(h_d, h_a, rlens, H, R, k)
@@ -722,11 +952,7 @@ def pallas_m1b_batch(haps, reads, rcs, rlens, ms, H: int, R: int,
     return jnp.concatenate([_scal_block(sc), mom], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "R", "k", "interpret"))
-def pallas_w10_batch(haps, reads, rcs, rlens, ms, H: int, R: int,
-                     k: int, interpret: bool = False):
-    """Packed stats rows for scorer='w10' (within-10% two-stage
-    cleaning, pyx:277-295 semantics)."""
+def _w10_rows(haps, reads, rcs, rlens, ms, H, R, k, interpret):
     lanes, ch, cf, cq, rlens, ms, h_d, h_a, sc = _codes_and_hists(
         haps, reads, rcs, rlens, ms, H, R, k, interpret)
     kd_d, ka_a, kd_rc, ka_rc = _w10_tables(ms, rlens, ch, cf, cq, h_d,
@@ -737,11 +963,7 @@ def pallas_w10_batch(haps, reads, rcs, rlens, ms, H: int, R: int,
     return jnp.concatenate([_scal_block(sc), mom], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "R", "k", "interpret"))
-def pallas_del_batch(haps, reads, rcs, rlens, ms, H: int, R: int,
-                     k: int, interpret: bool = False):
-    """Packed stats rows for scorer='del' (combined m1b + within-10%
-    moment sets — the DEL validator's per-read pair, pyx:1715-1726)."""
+def _del_rows(haps, reads, rcs, rlens, ms, H, R, k, interpret):
     lanes, ch, cf, cq, rlens, ms, h_d, h_a, sc = _codes_and_hists(
         haps, reads, rcs, rlens, ms, H, R, k, interpret)
     t1 = _m1b_tables(h_d, h_a, rlens, H, R, k)
@@ -750,3 +972,87 @@ def pallas_del_batch(haps, reads, rcs, rlens, ms, H: int, R: int,
     mom = moment2_pass(ms, rlens, ch, cf, cq, t1, t2, lanes, H, R, k,
                        interpret=interpret)
     return jnp.concatenate([_scal_block(sc), mom], axis=1)
+
+
+def _rdd_rows(haps, reads, rcs, rlens, ms, H, R, k, interpret):
+    from .fused import intercept_z_device
+    lanes, ch, cf, cq, rlens, ms, h_d, h_a, sc = _codes_and_hists(
+        haps, reads, rcs, rlens, ms, H, R, k, interpret)
+    tabs = _m1b_tables(h_d, h_a, rlens, H, R, k)
+    h_d_kept = kept_hist_pass(ms, rlens, ch, cf, cq, *tabs, lanes,
+                              H, R, k, interpret=interpret)
+    found, z_dev = jax.vmap(
+        lambda h: intercept_z_device(h, H))(h_d_kept)
+    # histogram holds d - m values; shift back only when an intercept
+    # was found (ties -> 0, unshifted) — fused._fused_one:521-527
+    zs = jnp.where(found, z_dev + 2 * ms, 0).astype(jnp.int32)
+    mom = rdd_moment_pass(ms, rlens, zs, ch, cf, cq, *tabs, lanes,
+                          H, R, k, interpret=interpret)
+    return jnp.concatenate([_scal_block(sc), mom], axis=1)
+
+
+def _make_batch(rows_fn, doc):
+    @functools.partial(jax.jit,
+                       static_argnames=("H", "R", "k", "interpret"))
+    def batch(haps, reads, rcs, rlens, ms, H: int, R: int, k: int,
+              interpret: bool = False):
+        return _chunked(
+            lambda a: rows_fn(*a, H, R, k, interpret),
+            haps, reads, rcs, rlens, ms)
+    batch.__doc__ = doc
+    return batch
+
+
+pallas_m1b_batch = _make_batch(_m1b_rows, """\
+Packed stats rows for scorer='m1b': 6 scalar + 14 moment int32
+columns whose FusedStats decoding matches the XLA engine exactly
+(the hi/lo packing differs — per-total instead of per-column — but
+reconstructs to the same integers).""")
+
+pallas_w10_batch = _make_batch(_w10_rows, """\
+Packed stats rows for scorer='w10' (within-10% two-stage cleaning,
+pyx:277-295 semantics).""")
+
+pallas_del_batch = _make_batch(_del_rows, """\
+Packed stats rows for scorer='del' (combined m1b + within-10% moment
+sets — the DEL validator's per-read pair, pyx:1715-1726).""")
+
+pallas_rdd_batch = _make_batch(_rdd_rows, """\
+Packed stats rows for scorer='rdd' (directed redefine-diagonal: m1b
+cleaning + intercept re-centering + sel moments, pyx:241-258).""")
+
+
+PALLAS_BATCHES = {"m1b": pallas_m1b_batch, "w10": pallas_w10_batch,
+                  "del": pallas_del_batch, "rdd": pallas_rdd_batch}
+
+_BUCKET_OK: dict = {}
+
+
+def probe_bucket(H: int, R: int, k: int, scorer: str,
+                 interpret: bool = False) -> bool:
+    """One-time synchronous compile+run probe of a bucket's pallas
+    pipeline on CHUNK dummy rows.  Mosaic/scoped-VMEM viability depends
+    only on the kernel shapes (the row dimension is fixed at CHUNK by
+    _chunked), so a passing probe guarantees production calls of any
+    row count compile too; a failing bucket is memoized and the caller
+    falls back to the XLA engine."""
+    key = (H, R, k, scorer)
+    if key not in _BUCKET_OK:
+        import numpy as np
+        try:
+            out = PALLAS_BATCHES[scorer](
+                jnp.full((CHUNK, H), HAP_PAD, jnp.uint8),
+                jnp.full((CHUNK, R), READ_PAD, jnp.uint8),
+                jnp.full((CHUNK, R), READ_PAD, jnp.uint8),
+                jnp.ones((CHUNK,), jnp.int32),
+                jnp.zeros((CHUNK,), jnp.int32),
+                H=H, R=R, k=k, interpret=interpret)
+            np.asarray(out)
+            _BUCKET_OK[key] = True
+        except Exception as e:           # compile/VMEM failure
+            import warnings
+            warnings.warn(
+                f"pallas bucket (H={H}, R={R}, k={k}, {scorer}) "
+                f"unavailable, using XLA engine: {e!r:.200}")
+            _BUCKET_OK[key] = False
+    return _BUCKET_OK[key]
