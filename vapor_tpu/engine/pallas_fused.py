@@ -49,6 +49,8 @@ dotplot/cleaning/metric stack of Simple_function.pyx:161-307, 387-479,
 from __future__ import annotations
 
 import functools
+import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -72,13 +74,18 @@ def _round_up(x: int, m: int) -> int:
 
 def _tile_h(H: int, R: int) -> int:
     """H-tile height: power-of-two multiple of 128 dividing H (buckets
-    are multiples of 256), sized so the in-kernel skew pyramid buffer
-    TH x round_up(TH+R-1, 128) x int32 stays ~<=6 MB — at TH=512,
-    R=3072 the 7.3 MB buffer blows the 16 MB scoped-VMEM limit
-    (measured on v5e via the AOT compiler), while TH=256 fits."""
-    th = 512
-    while th > 128 and (H % th or
-                        th * _round_up(th + R - 1, 128) * 4 > 6 << 20):
+    are multiples of 256).  Measured on v5e (B=24, m1b): TH=512 wins
+    slightly at R<=1024 (fewer grid steps) but runs up to 2x SLOWER
+    than TH=256 from R=1536 on (deeper pyramids hold more live VMEM
+    temporaries; at R=3072 its 7.3 MB skew buffer overflows the 16 MB
+    scoped-VMEM limit outright), while TH=256 stays fast through
+    R=4096 (4.46 MB buffer, 1.3-1.9x over XLA).  TH=128 is the
+    fallback for very wide reads; past R~13k even that may fail to
+    compile — the autotune probe catches it and uses the XLA engine."""
+    if H % 512 == 0 and R <= 1024:
+        return 512
+    th = 256 if R <= 6400 else 128
+    while th > 128 and H % th:
         th //= 2
     return min(th, H)
 
@@ -1025,34 +1032,122 @@ cleaning + intercept re-centering + sel moments, pyx:241-258).""")
 PALLAS_BATCHES = {"m1b": pallas_m1b_batch, "w10": pallas_w10_batch,
                   "del": pallas_del_batch, "rdd": pallas_rdd_batch}
 
-_BUCKET_OK: dict = {}
+# per-(H, R, k, scorer) engine choice: pallas wins most buckets on
+# v5e (up to 1.9x) but loses a few by 15-25% — per-bucket VMEM/window
+# effects, not predictable from shape arithmetic — so the first use of
+# a bucket times both engines once and the verdict is memoized here
+# and persisted to disk (survives processes; keyed by device kind).
+_CHOICE: dict = {}
+_TUNE_B = 24          # matches the dominant production ladder size
+_TUNE_REPS = 3
+
+
+def _tune_cache_path():
+    cache_dir = os.environ.get(
+        "VAPOR_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "vapor_tpu_xla"))
+    return os.path.join(cache_dir, "pallas_autotune.json")
+
+
+def _load_tune_cache() -> dict:
+    try:
+        with open(_tune_cache_path()) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_tune_cache(cache: dict) -> None:
+    path = _tune_cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)           # atomic vs concurrent writers
+    except Exception:
+        pass
+
+
+def _dummy_rows(H: int, R: int, B: int):
+    """Deterministic timing rows (jit timing is data-independent)."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    haps = np.full((B, H), HAP_PAD, np.uint8)
+    reads = np.full((B, R), READ_PAD, np.uint8)
+    n = min(H, R) - 40
+    haps[:, :n] = bases[rng.integers(0, 4, (B, n))]
+    reads[:, :n] = haps[:, :n]
+    return (jnp.asarray(haps), jnp.asarray(reads), jnp.asarray(reads),
+            jnp.full((B,), n, jnp.int32), jnp.zeros((B,), jnp.int32))
+
+
+def choose_engine(H: int, R: int, k: int, scorer: str) -> str:
+    """'pallas' or 'xla' for this bucket: compile both once, time a
+    few fetch-synced runs (np.asarray is the only honest sync over the
+    axon relay), keep the winner.  A pallas compile/VMEM failure
+    memoizes 'xla' permanently."""
+    key = (H, R, k, scorer)
+    if key in _CHOICE:
+        return _CHOICE[key]
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = "unknown"
+    skey = f"{kind}|H{H}|R{R}|k{k}|{scorer}"
+    disk = _load_tune_cache()
+    if skey in disk:
+        _CHOICE[key] = disk[skey]
+        return disk[skey]
+    import time
+    import numpy as np
+    args = _dummy_rows(H, R, _TUNE_B)
+
+    def run_pallas():
+        return np.asarray(PALLAS_BATCHES[scorer](
+            *args, H=H, R=R, k=k))
+
+    def run_xla():
+        from .fused import _fused_batch_jit
+        return np.asarray(_fused_batch_jit(
+            *args, jnp.int32(k // 10 - 1), H=H, R=R, scorer=scorer)[2])
+
+    def best_of(fn):
+        fn()                            # compile + warm
+        t = float("inf")
+        for _ in range(_TUNE_REPS):
+            t0 = time.perf_counter()
+            fn()
+            t = min(t, time.perf_counter() - t0)
+        return t
+
+    try:
+        t_p = best_of(run_pallas)
+        t_x = best_of(run_xla)
+        choice = "pallas" if t_p <= t_x else "xla"
+    except Exception as e:              # pallas compile/VMEM failure
+        import warnings
+        warnings.warn(
+            f"pallas bucket (H={H}, R={R}, k={k}, {scorer}) "
+            f"unavailable, using XLA engine: {e!r:.200}")
+        choice = "xla"
+    _CHOICE[key] = choice
+    disk = _load_tune_cache()           # re-read: other buckets raced
+    disk[skey] = choice
+    _save_tune_cache(disk)
+    return choice
 
 
 def probe_bucket(H: int, R: int, k: int, scorer: str,
                  interpret: bool = False) -> bool:
-    """One-time synchronous compile+run probe of a bucket's pallas
-    pipeline on CHUNK dummy rows.  Mosaic/scoped-VMEM viability depends
-    only on the kernel shapes (the row dimension is fixed at CHUNK by
-    _chunked), so a passing probe guarantees production calls of any
-    row count compile too; a failing bucket is memoized and the caller
-    falls back to the XLA engine."""
-    key = (H, R, k, scorer)
-    if key not in _BUCKET_OK:
-        import numpy as np
-        try:
-            out = PALLAS_BATCHES[scorer](
-                jnp.full((CHUNK, H), HAP_PAD, jnp.uint8),
-                jnp.full((CHUNK, R), READ_PAD, jnp.uint8),
-                jnp.full((CHUNK, R), READ_PAD, jnp.uint8),
-                jnp.ones((CHUNK,), jnp.int32),
-                jnp.zeros((CHUNK,), jnp.int32),
-                H=H, R=R, k=k, interpret=interpret)
-            np.asarray(out)
-            _BUCKET_OK[key] = True
-        except Exception as e:           # compile/VMEM failure
-            import warnings
-            warnings.warn(
-                f"pallas bucket (H={H}, R={R}, k={k}, {scorer}) "
-                f"unavailable, using XLA engine: {e!r:.200}")
-            _BUCKET_OK[key] = False
-    return _BUCKET_OK[key]
+    """True when this bucket should run on the pallas engine.
+
+    interpret=True (VAPOR_TPU_PALLAS=force on CPU — tests) skips the
+    autotune and answers True; otherwise the first call times pallas
+    against the XLA engine on this device and the verdict sticks
+    (choose_engine)."""
+    if interpret:
+        return True
+    return choose_engine(H, R, k, scorer) == "pallas"
