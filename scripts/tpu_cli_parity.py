@@ -39,8 +39,11 @@ def main():
         print(f"PARITY OK: {n} events byte-identical "
               f"({len(outs['jax'].splitlines()) - 1} rows)")
         return 0
-    for a, b in zip(outs["numpy"].splitlines(),
-                    outs["jax"].splitlines()):
+    import itertools
+    la, lb = (outs["numpy"].splitlines(), outs["jax"].splitlines())
+    if len(la) != len(lb):
+        print(f"row-count mismatch: numpy={len(la)} jax={len(lb)}")
+    for a, b in itertools.zip_longest(la, lb, fillvalue=b"<missing>"):
         if a != b:
             print("numpy:", a.decode())
             print("jax:  ", b.decode())

@@ -12,7 +12,8 @@ setup(
     description="TPU-native long-read validation of structural variants "
                 "(VaPoR-compatible)",
     packages=find_packages(include=["vapor_tpu", "vapor_tpu.*"]),
-    package_data={"vapor_tpu": ["native/*.cpp"]},
+    package_data={"vapor_tpu": ["native/*.cpp",
+                                "engine/autotune_tables/*.json"]},
     python_requires=">=3.10",
     install_requires=[
         "numpy", "scipy", "matplotlib", "scikit-learn", "jax",

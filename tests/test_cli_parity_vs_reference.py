@@ -14,7 +14,6 @@ import sys
 import pytest
 
 from conftest import REFERENCE_DIR, has_reference
-from vapor_tpu.sim.synth import build_test_case
 
 pytestmark = [pytest.mark.refcli,
               pytest.mark.skipif(not has_reference(),
@@ -101,12 +100,6 @@ def _run_ours(mode, sv_input, ref_fa, bam, out_path, out_file):
     assert main(args) == 0
 
 
-def _fixture(tmpdir, sv, seed, het=True):
-    return build_test_case(str(tmpdir), genome_len=14000, sv=sv,
-                           n_donor=6, n_ref=6 if het else 0,
-                           read_len=1700, err=0.07, seed=seed, het=het)
-
-
 @pytest.mark.parametrize("svtype,s0,e0,seed,het", [
     ("DEL", 6000, 6300, 11, True),
     ("DEL", 6000, 6200, 12, False),
@@ -114,10 +107,9 @@ def _fixture(tmpdir, sv, seed, het=True):
     ("DUP", 6000, 6250, 14, False),
 ])
 def test_bed_parity(harness, tmp_path, svtype, s0, e0, seed, het):
-    case = _fixture(tmp_path, (svtype, s0, e0), seed, het)
-    bed = tmp_path / "svs.bed"
-    bedtype = {"DUP": "DUP"}.get(svtype, svtype)
-    bed.write_text(f"chrS\t{s0}\t{e0}\tSV1\t{bedtype}\n")
+    from golden_cases import build_bed_case
+    case = build_bed_case(str(tmp_path), svtype, s0, e0, seed, het)
+    bed = case["bed"]
     ref_out = str(tmp_path / "ref.vapor")
     our_out = str(tmp_path / "ours.vapor")
     _run_reference(harness, "bed", str(bed), case["fasta"], case["bam"],

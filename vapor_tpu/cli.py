@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="vapor-tpu",
         description="TPU-native long-read validation of structural "
                     "variants (VaPoR-compatible)")
+    from .prep import vapor_version
+    parser.add_argument("--version", action="version",
+                        version=vapor_version)
     parser.add_argument("mode", choices=["bed", "vcf", "ins", "svelter",
                                          "pdf", "scatter"])
     parser.add_argument("--sv-input", required=True,
@@ -80,9 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="scatter mode: worklist format")
     parser.add_argument("--jobs", type=int, default=1,
                         help="scatter mode: concurrent shard processes")
-    parser.add_argument("--pipeline", type=int, default=1,
+    parser.add_argument("--pipeline", type=int, default=8,
                         help="overlap host prep and device scoring "
-                             "across N events (output order unchanged)")
+                             "across N events (output order unchanged; "
+                             "--pipeline 1 restores strictly sequential "
+                             "event processing)")
     parser.add_argument("--validate-vcf-tandup", action="store_true",
                         help="score DUP/TANDUP records in vcf mode "
                              "(the reference silently drops them; "

@@ -66,6 +66,18 @@ class _Req:
     __slots__ = ("hap", "fw", "rc", "rlens", "ms", "B", "key", "fut")
 
 
+class _RowFut:
+    """View of a combined-call Future as this request's packed rows."""
+
+    __slots__ = ("_f",)
+
+    def __init__(self, f):
+        self._f = f
+
+    def result(self):
+        return self._f.result()[2][0]
+
+
 class BatchingBackend(FusedBackend):
     """Fused backend with a dynamic-batching dispatcher thread."""
 
@@ -92,6 +104,23 @@ class BatchingBackend(FusedBackend):
         r.fut = Future()
         self._q.put(r)
         return r.fut
+
+    def submit_selfstats(self, hap, rc, length, window, H):
+        """Window-refiner self-comparison request: coalesces with other
+        events' refiner steps in the same (H, window) bucket — the
+        refiner round-trips were the dominant e2e host cost once score
+        batches coalesced (~17 ms relay fetch per tiny call)."""
+        self._ensure_thread()
+        r = _Req()
+        r.hap = hap.reshape(1, -1)
+        r.fw = rc.reshape(1, -1)
+        r.rc = r.ms = None
+        r.rlens = np.asarray([length], np.int32)
+        r.B = 1
+        r.key = (H, H, "selfstats", window // 10 - 1)
+        r.fut = Future()
+        self._q.put(r)
+        return _RowFut(r.fut)
 
     def _ensure_thread(self):
         if self._thread is not None and self._thread.is_alive():
@@ -171,6 +200,21 @@ class BatchingBackend(FusedBackend):
 
     def _launch(self, key, sub):
         H, R, scorer, kidx = key
+        if scorer == "selfstats":
+            from .window_device import _self_stats_rows
+            P = _pad_rows(sum(r.B for r in sub))
+            haps = np.full((P, H), HAP_PAD, np.uint8)
+            rcs = np.full((P, H), 251, np.uint8)
+            lengths = np.zeros(P, np.int32)
+            o = 0
+            for r in sub:
+                haps[o:o + r.B] = r.hap
+                rcs[o:o + r.B] = r.fw
+                lengths[o:o + r.B] = r.rlens
+                o += r.B
+            return (None, None, _self_stats_rows(
+                jnp.asarray(haps), jnp.asarray(rcs),
+                jnp.asarray(lengths), jnp.int32(kidx), H=H))
         rows = sum(r.B for r in sub)
         P = _pad_rows(rows)
         haps = np.full((P, H), HAP_PAD, np.uint8)

@@ -1040,6 +1040,9 @@ PALLAS_BATCHES = {"m1b": pallas_m1b_batch, "w10": pallas_w10_batch,
 _CHOICE: dict = {}
 _TUNE_B = 24          # matches the dominant production ladder size
 _TUNE_REPS = 3
+# bump when kernel code changes: invalidates persisted autotune
+# verdicts (the disk cache key includes this)
+ENGINE_VERSION = 3
 
 
 def _tune_cache_path():
@@ -1084,60 +1087,124 @@ def _dummy_rows(H: int, R: int, B: int):
             jnp.full((B,), n, jnp.int32), jnp.zeros((B,), jnp.int32))
 
 
-def choose_engine(H: int, R: int, k: int, scorer: str) -> str:
-    """'pallas' or 'xla' for this bucket: compile both once, time a
-    few fetch-synced runs (np.asarray is the only honest sync over the
-    axon relay), keep the winner.  A pallas compile/VMEM failure
-    memoizes 'xla' permanently."""
-    key = (H, R, k, scorer)
-    if key in _CHOICE:
-        return _CHOICE[key]
+def _device_kind() -> str:
     try:
-        kind = jax.devices()[0].device_kind
+        return jax.devices()[0].device_kind.replace(" ", "_")
     except Exception:
-        kind = "unknown"
-    skey = f"{kind}|H{H}|R{R}|k{k}|{scorer}"
-    disk = _load_tune_cache()
-    if skey in disk:
-        _CHOICE[key] = disk[skey]
-        return disk[skey]
+        return "unknown"
+
+
+def _bucket_skey(kind: str, H: int, R: int, k: int, scorer: str) -> str:
+    return f"v{ENGINE_VERSION}|{kind}|H{H}|R{R}|k{k}|{scorer}"
+
+
+@functools.lru_cache(maxsize=4)
+def _packaged_table(kind: str) -> dict:
+    """Committed autotune verdicts for a device kind (measured once by
+    scripts/warmup_autotune.py, shipped in-tree) — the cold-start
+    default so production runs never time-probe inline."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "autotune_tables", f"{kind}.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def measure_bucket(H: int, R: int, k: int, scorer: str,
+                   batch_sizes=(8, 96), reps: int = _TUNE_REPS) -> dict:
+    """Time pallas vs XLA for one bucket at the given batch sizes
+    (LADDER shapes the batching layer actually emits) and return
+    {'pallas': total_s, 'xla': total_s, 'choice': ...}.  Used by the
+    warmup tool — never called from the production scoring path.
+    np.asarray is the only honest sync over the axon relay."""
     import time
     import numpy as np
-    args = _dummy_rows(H, R, _TUNE_B)
 
-    def run_pallas():
+    def run_pallas(args):
         return np.asarray(PALLAS_BATCHES[scorer](
             *args, H=H, R=R, k=k))
 
-    def run_xla():
+    def run_xla(args):
         from .fused import _fused_batch_jit
         return np.asarray(_fused_batch_jit(
             *args, jnp.int32(k // 10 - 1), H=H, R=R, scorer=scorer)[2])
 
-    def best_of(fn):
-        fn()                            # compile + warm
-        t = float("inf")
-        for _ in range(_TUNE_REPS):
-            t0 = time.perf_counter()
-            fn()
-            t = min(t, time.perf_counter() - t0)
-        return t
+    totals = {"pallas": 0.0, "xla": 0.0}
+    for B in batch_sizes:
+        args = _dummy_rows(H, R, B)
+        for name, fn in (("pallas", run_pallas), ("xla", run_xla)):
+            fn(args)                    # compile + warm
+            t = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(args)
+                t = min(t, time.perf_counter() - t0)
+            totals[name] += t
+    totals["choice"] = "pallas" if totals["pallas"] <= totals["xla"] \
+        else "xla"
+    return totals
 
-    try:
-        t_p = best_of(run_pallas)
-        t_x = best_of(run_xla)
-        choice = "pallas" if t_p <= t_x else "xla"
-    except Exception as e:              # pallas compile/VMEM failure
-        import warnings
-        warnings.warn(
-            f"pallas bucket (H={H}, R={R}, k={k}, {scorer}) "
-            f"unavailable, using XLA engine: {e!r:.200}")
-        choice = "xla"
-    _CHOICE[key] = choice
-    disk = _load_tune_cache()           # re-read: other buckets raced
-    disk[skey] = choice
-    _save_tune_cache(disk)
-    return choice
+
+def blacklist_bucket(H: int, R: int, k: int, scorer: str,
+                     exc: BaseException) -> None:
+    """Record a production-time pallas failure for this bucket.  Only
+    genuine compile/lowering/VMEM failures persist to disk; a transient
+    device/relay error pins 'xla' for this process only."""
+    key = (H, R, k, scorer)
+    _CHOICE[key] = "xla"
+    msg = repr(exc)
+    if any(s in msg for s in (
+            "Mosaic", "mosaic", "RESOURCE_EXHAUSTED", "vmem", "VMEM",
+            "lowering", "Unsupported", "UNIMPLEMENTED", "Internal")):
+        disk = _load_tune_cache()
+        disk[_bucket_skey(_device_kind(), H, R, k, scorer)] = "xla"
+        _save_tune_cache(disk)
+
+
+def choose_engine(H: int, R: int, k: int, scorer: str) -> str:
+    """'pallas' or 'xla' for this bucket, with NO inline timing probe:
+    consult (in order) the in-process memo, the on-disk autotune cache
+    (written by scripts/warmup_autotune.py or a previous blacklist),
+    and the committed per-device-kind table.  An unknown bucket
+    defaults to 'pallas' — it wins at every measured production bucket
+    on v5e (1.15-1.58x, scripts/bench_pallas_fused.py), and a compile
+    failure at call time falls back to XLA via blacklist_bucket.
+    Set VAPOR_TPU_AUTOTUNE=inline to restore the round-2 behavior of
+    timing both engines on first encounter (costly mid-run)."""
+    key = (H, R, k, scorer)
+    if key in _CHOICE:
+        return _CHOICE[key]
+    kind = _device_kind()
+    skey = _bucket_skey(kind, H, R, k, scorer)
+    disk = _load_tune_cache()
+    if skey in disk:
+        _CHOICE[key] = disk[skey]
+        return disk[skey]
+    packaged = _packaged_table(kind)
+    if skey in packaged:
+        _CHOICE[key] = packaged[skey]
+        return packaged[skey]
+    if os.environ.get("VAPOR_TPU_AUTOTUNE", "").lower() == "inline":
+        try:
+            choice = measure_bucket(H, R, k, scorer,
+                                    batch_sizes=(_TUNE_B,))["choice"]
+            disk = _load_tune_cache()   # re-read: other buckets raced
+            disk[skey] = choice
+            _save_tune_cache(disk)
+        except Exception as e:
+            blacklist_bucket(H, R, k, scorer, e)
+            choice = "xla"
+        _CHOICE[key] = choice
+        return choice
+    _CHOICE[key] = "pallas"
+    try:                                # record the miss for warmup
+        with open(_tune_cache_path() + ".miss", "a") as f:
+            f.write(skey + "\n")
+    except Exception:
+        pass
+    return "pallas"
 
 
 def probe_bucket(H: int, R: int, k: int, scorer: str,

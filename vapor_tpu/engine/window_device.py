@@ -22,6 +22,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from . import oracle
 from .fused import _hits_normal, _flip_to_dot_space, skew_reduce, \
@@ -30,8 +31,7 @@ from .kernel import HAP_PAD, bucket_for
 from .window import qual_check_repetitive_region, self_dot_arrays
 
 
-@functools.partial(jax.jit, static_argnames=("H",))
-def _self_stats(hap, rc, length, k_idx, H: int):
+def _self_stats_one(hap, rc, length, k_idx, H: int):
     W = hist_width(H, H)
     k = 10 * (k_idx + 1)
     # the self-comparison matches hap against ITSELF, so the HAP_PAD
@@ -55,12 +55,49 @@ def _self_stats(hap, rc, length, k_idx, H: int):
     return jnp.stack([total, diag, below])
 
 
+_self_stats = jax.jit(_self_stats_one, static_argnames=("H",))
+
+
+@functools.partial(jax.jit, static_argnames=("H",))
+def _self_stats_rows(haps, rcs, lengths, k_idx, H: int):
+    """Batched self-stats: one device call for many sequences of the
+    same H bucket (the batching layer coalesces refiner requests from
+    pipelined events the same way score batches coalesce).  Chunked
+    vmap bounds live memory exactly like the fused engine."""
+    from .fused import _vmap_width
+    B = haps.shape[0]
+    width = min(_vmap_width(H, H), B)
+    pad = (-B) % width
+    if pad:
+        haps = jnp.pad(haps, ((0, pad), (0, 0)),
+                       constant_values=HAP_PAD)
+        rcs = jnp.pad(rcs, ((0, pad), (0, 0)), constant_values=251)
+        lengths = jnp.pad(lengths, (0, pad))
+    n_chunks = haps.shape[0] // width
+
+    def chunk(args):
+        h, r, ln = args
+        return jax.vmap(
+            lambda hh, rr, ll: _self_stats_one(hh, rr, ll, k_idx, H)
+        )(h, r, ln)
+
+    out = lax.map(chunk, (haps.reshape(n_chunks, width, -1),
+                          rcs.reshape(n_chunks, width, -1),
+                          lengths.reshape(n_chunks, width)))
+    return out.reshape(n_chunks * width, 3)[:B]
+
+
 class DeviceWindowRefiner:
     """window_size_refine with the self-dotplot on the device."""
 
-    def __init__(self, region_qc_cff: float = 0.4, seed: int = 0):
+    def __init__(self, region_qc_cff: float = 0.4, seed: int = 0,
+                 submit=None):
         self.region_qc_cff = region_qc_cff
         self.seed = seed
+        # submit(hap, rc, length, window, H) -> Future of a (3,) row:
+        # when set (BatchingBackend.submit_selfstats), refiner requests
+        # from pipelined events coalesce into combined device calls
+        self._submit = submit
 
     def _stats_async(self, seq: str, window: int):
         """Dispatch the self-comparison; returns a zero-arg finisher
@@ -74,6 +111,9 @@ class DeviceWindowRefiner:
         hap[: len(codes)] = codes
         rc = np.full(H, 251, dtype=np.uint8)   # distinct pad
         rc[: len(codes)] = oracle.encode_comp(seq)[::-1]
+        if self._submit is not None:
+            fut = self._submit(hap, rc, len(codes), window, H)
+            return lambda: tuple(int(v) for v in fut.result())
         out = _self_stats(
             jnp.asarray(hap), jnp.asarray(rc), jnp.int32(len(codes)),
             jnp.int32(window // 10 - 1), H=H)

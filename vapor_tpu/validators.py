@@ -65,7 +65,9 @@ class ValidatorContext:
         self._refiner = None
         if getattr(self.backend, "name", "").startswith("jax"):
             from .engine.window_device import DeviceWindowRefiner
-            self._refiner = DeviceWindowRefiner(config.region_qc_cff)
+            self._refiner = DeviceWindowRefiner(
+                config.region_qc_cff,
+                submit=getattr(self.backend, "submit_selfstats", None))
         # BAM ingest prefetch: decode the BGZF stream on a background
         # thread while the worklist parses / first haplotypes build
         # (SURVEY §7: "prefetch pipeline BAM -> host -> HBM")
