@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="worklist shard to process (multi-host)")
     parser.add_argument("--num-shards", type=int, default=1,
                         help="total worklist shards (multi-host)")
+    parser.add_argument("--shard-by-contig", action="store_true",
+                        help="use the contig-granular greedy-balanced "
+                             "shard assignment (the jax.distributed "
+                             "default) for manual --shard-index runs")
     parser.add_argument("--resume", action="store_true",
                         help="skip events already present in the output "
                              "file (preemption-safe restart)")
@@ -201,7 +205,8 @@ def run_bed(args, ctx: ValidatorContext, num_reads_cff: int,
     else:
         events = bed_info_readin(args.sv_input)
     events = _shard(events, args.shard_index, args.num_shards,
-                    dist=bool(dist))
+                    dist=bool(dist)
+                    or getattr(args, "shard_by_contig", False))
     done = _resume_keys(out_name) if args.resume else set()
     if not (args.resume and os.path.exists(out_name)):
         initiate_output(out_name)
@@ -282,7 +287,9 @@ def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
     tasks = []
     for sv_type in list(vcf_list.keys()):
         entries = _shard(vcf_list[sv_type], args.shard_index,
-                         args.num_shards, dist=bool(dist))
+                         args.num_shards,
+                         dist=bool(dist)
+                         or getattr(args, "shard_by_contig", False))
         for y in entries:
             if "NA" in y:
                 continue
@@ -386,7 +393,8 @@ def run_ins(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
     initiate_output(out_name)
     records = _shard(melt_records(prefix, fetch_entry),
                      args.shard_index, args.num_shards,
-                     dist=bool(dist))
+                     dist=bool(dist)
+                     or getattr(args, "shard_by_contig", False))
 
     def task(key_event, ins_seq, polarity):
         return key_event, (yield from ctx.validate_ins_gen(
@@ -416,7 +424,9 @@ def run_svelter(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
         for alt_struct in list(svelter_hash[ref_struct].keys()):
             entries = _shard(svelter_hash[ref_struct][alt_struct],
                              args.shard_index, args.num_shards,
-                             dist=bool(dist))
+                             dist=bool(dist)
+                             or getattr(args, "shard_by_contig",
+                                        False))
             for bps in entries:
 
                 def task(ref_struct=ref_struct, alt_struct=alt_struct,

@@ -52,19 +52,32 @@ def shard_worklist(events: Sequence, process_id: int, num_processes: int,
 
     Contig-granular when there are at least as many contigs as hosts
     (keeps per-host BAM regions disjoint — the WDL per-contig scatter,
-    internalized); event round-robin otherwise.
+    internalized), with contigs packed greedily by event count so few
+    large contigs don't pile onto one host; event round-robin
+    otherwise.  Deterministic: every host computes the same assignment.
     """
     if num_processes <= 1:
         return list(events)
     contigs = []
+    counts: Dict[str, int] = {}
     for e in events:
         c = contig_of(e)
-        if c not in contigs:
+        if c not in counts:
             contigs.append(c)
+            counts[c] = 0
+        counts[c] += 1
     if len(contigs) >= num_processes:
-        mine = {c for i, c in enumerate(contigs)
-                if i % num_processes == process_id}
-        return [e for e in events if contig_of(e) in mine]
+        # largest contig first onto the least-loaded host (greedy
+        # balance; first-appearance order breaks count ties)
+        first = {c: i for i, c in enumerate(contigs)}
+        order = sorted(contigs, key=lambda c: (-counts[c], first[c]))
+        load = [0] * num_processes
+        owner: Dict[str, int] = {}
+        for c in order:
+            h = min(range(num_processes), key=lambda i: (load[i], i))
+            owner[c] = h
+            load[h] += counts[c]
+        return [e for e in events if owner[contig_of(e)] == process_id]
     return [e for i, e in enumerate(events)
             if i % num_processes == process_id]
 

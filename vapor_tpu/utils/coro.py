@@ -40,9 +40,14 @@ def run_pipelined(tasks: Iterable[Callable], emit: Callable,
     them; ``emit(*result)`` fires in submission order.
 
     Each factory returns a generator yielding zero-arg finishers and
-    returning the emit arguments.  The scheduler always advances the
-    oldest in-flight task (so emission never lags), while the younger
-    tasks' pending device calls keep the accelerator busy.
+    returning the emit arguments.  The scheduler advances the in-flight
+    tasks breadth-first (oldest first in each round): every task takes
+    one step — resolve its pending finisher, run to its next dispatch —
+    before any task takes a second step.  That way all in-flight
+    events' device dispatches are issued before the scheduler blocks on
+    the next round of fetches, so the BatchingBackend coalesces them
+    into combined calls (depth-first advancement serialized one
+    launch+fetch per event — measured 3x slower e2e on the relay TPU).
     """
     results = {}
     next_emit = 0
@@ -80,11 +85,14 @@ def run_pipelined(tasks: Iterable[Callable], emit: Callable,
 
     admit()
     while active:
-        i, gen, fin = active[0]
-        try:
-            active[0][2] = gen.send(fin())
-        except StopIteration as stop:
-            active.pop(0)
-            results[i] = stop.value
-            flush()
-            admit()
+        idx = 0
+        while idx < len(active):
+            i, gen, fin = active[idx]
+            try:
+                active[idx][2] = gen.send(fin())
+                idx += 1
+            except StopIteration as stop:
+                active.pop(idx)
+                results[i] = stop.value
+                flush()
+                admit()
