@@ -9,7 +9,6 @@ only observable effect is the repeat-QC mass used by the window tuner.
 """
 from __future__ import annotations
 
-import warnings
 from typing import List, Sequence
 
 import numpy as np
@@ -51,13 +50,53 @@ def compute_bic(centers: np.ndarray, labels: np.ndarray,
     return float(np.sum(terms) - const_term)
 
 
-def _kmeans_fit(X: np.ndarray, k: int, seed: int):
-    from sklearn import cluster as skcluster
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        km = skcluster.KMeans(n_clusters=k, init="k-means++",
-                              random_state=seed, n_init=10).fit(X)
-    return km.cluster_centers_, km.labels_
+def _kmeanspp_init(X: np.ndarray, k: int,
+                   rng: np.random.RandomState) -> np.ndarray:
+    """k-means++ seeding (D^2 sampling)."""
+    n = len(X)
+    centers = np.empty((k, X.shape[1]))
+    centers[0] = X[rng.randint(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for c in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            centers[c:] = X[rng.randint(n, size=k - c)]
+            break
+        probs = d2 / total
+        centers[c] = X[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((X - centers[c]) ** 2).sum(axis=1))
+    return centers
+
+
+def _kmeans_fit(X: np.ndarray, k: int, seed: int,
+                n_init: int = 3, max_iter: int = 30):
+    """Seeded numpy k-means++ (Lloyd).  Replaces the earlier
+    sklearn.cluster.KMeans call: the repeat-QC X-means runs hundreds of
+    small fits per repetitive haplotype (TANDUP alts are inherently
+    self-repetitive), and sklearn's per-call overhead plus its one-time
+    ~5 s import dominated per-process host cost.  The reference's own
+    clusterer is UNSEEDED sklearn (pyx:861), so any deterministic
+    clusterer is within the documented divergence; only the repeat-QC
+    mass gate observes the result."""
+    rng = np.random.RandomState(seed)
+    best = None
+    for _init in range(n_init):
+        centers = _kmeanspp_init(X, k, rng)
+        labels = None
+        for _ in range(max_iter):
+            d = ((X[:, None, :] - centers[None]) ** 2).sum(axis=2)
+            new_labels = d.argmin(axis=1)
+            if labels is not None and np.array_equal(new_labels, labels):
+                break
+            labels = new_labels
+            for c in range(k):
+                mask = labels == c
+                if mask.any():
+                    centers[c] = X[mask].mean(axis=0)
+        inertia = float(((X - centers[labels]) ** 2).sum())
+        if best is None or inertia < best[0]:
+            best = (inertia, centers.copy(), labels.copy())
+    return best[1], best[2]
 
 
 def k_means_cluster(xs: Sequence[int], ys: Sequence[int], seed: int = 0

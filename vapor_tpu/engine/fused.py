@@ -578,12 +578,13 @@ def _maybe_pallas_rows(haps, reads, rcs, rlens, ms, k_idx, H: int,
                        R: int, scorer: str):
     """Route to the full-fusion Pallas engine when it applies.
 
-    On by default on TPU (it beats the XLA path at every production
-    bucket on v5e: 1.16-1.47x, scripts/bench_pallas_fused.py); off on
-    CPU where Mosaic kernels only run interpreted.  VAPOR_TPU_PALLAS=0
-    disables, =force enables even on CPU (interpret mode — tests).
-    Buckets whose kernels fail to compile are probed once and fall
-    back to the XLA engine permanently (pallas_fused.probe_bucket)."""
+    Routing is table-driven per bucket (pallas_fused.choose_engine:
+    warmup-measured verdicts; unknown buckets run XLA — see
+    PERF_NOTES.md for the round-3 A/B); off on CPU where Mosaic
+    kernels only run interpreted.  VAPOR_TPU_PALLAS=0 disables,
+    =force enables even on CPU (interpret mode — tests).  A bucket
+    whose kernel fails at call time falls back to the XLA engine and
+    is blacklisted (pallas_fused.blacklist_bucket)."""
     if scorer not in ("m1b", "w10", "del", "rdd"):
         return None
     env = os.environ.get("VAPOR_TPU_PALLAS", "auto").lower()

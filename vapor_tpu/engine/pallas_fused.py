@@ -1168,11 +1168,13 @@ def choose_engine(H: int, R: int, k: int, scorer: str) -> str:
     consult (in order) the in-process memo, the on-disk autotune cache
     (written by scripts/warmup_autotune.py or a previous blacklist),
     and the committed per-device-kind table.  An unknown bucket
-    defaults to 'pallas' — it wins at every measured production bucket
-    on v5e (1.15-1.58x, scripts/bench_pallas_fused.py), and a compile
-    failure at call time falls back to XLA via blacklist_bucket.
-    Set VAPOR_TPU_AUTOTUNE=inline to restore the round-2 behavior of
-    timing both engines on first encounter (costly mid-run)."""
+    defaults to 'xla': the round-3 A/B on the production bench
+    worklist measured XLA 590 vs pallas 522 reads/s (PERF_NOTES.md) —
+    the pallas wins from the B=16 micro-bench do not transfer to
+    LADDER batch sizes, so pallas must earn its routing bucket by
+    bucket via the warmup table.  Set VAPOR_TPU_AUTOTUNE=inline to
+    restore the round-2 behavior of timing both engines on first
+    encounter (costly mid-run)."""
     key = (H, R, k, scorer)
     if key in _CHOICE:
         return _CHOICE[key]
@@ -1198,13 +1200,13 @@ def choose_engine(H: int, R: int, k: int, scorer: str) -> str:
             choice = "xla"
         _CHOICE[key] = choice
         return choice
-    _CHOICE[key] = "pallas"
+    _CHOICE[key] = "xla"
     try:                                # record the miss for warmup
         with open(_tune_cache_path() + ".miss", "a") as f:
             f.write(skey + "\n")
     except Exception:
         pass
-    return "pallas"
+    return "xla"
 
 
 def probe_bucket(H: int, R: int, k: int, scorer: str,

@@ -55,6 +55,8 @@ def build_event_worklist(tmpdir: str, n_events: int,
     bed = f"{tmpdir}/svs.bed"
     write_fasta(fa, genome)
     write_bam(bam, [(contig, genome_len)], records)
+    from ..io.bai import write_bai
+    write_bai(bam)
     with open(bed, "w") as fh:
         fh.write("\n".join(bed_lines) + "\n")
     return fa, bam, bed
@@ -155,6 +157,8 @@ def build_scale_case(tmpdir: str, n_contigs: int = 2,
     write_bam(bam, refs, [
         BamRecord(f"r{i}", 0, order[c], p, 60, f"{len(s)}M", s, b"")
         for i, (c, p, s) in enumerate(all_records)])
+    from ..io.bai import write_bai
+    write_bai(bam)
     bed = f"{tmpdir}/calls.bed"
     with open(bed, "w") as fo:
         fo.writelines(bed_rows)

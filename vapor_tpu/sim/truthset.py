@@ -98,16 +98,12 @@ def place_svs(contig_len: int, chrom: str, specs: Sequence[SVSpec],
                 e = s + size
                 extra_ok = True
                 info: Dict = {}
-                if spec.svtype == "dis_dup":
-                    ip = rng.randint(e + buffer // 2,
-                                     min(contig_len - buffer,
-                                         e + 3 * buffer))
-                    extra_ok = free(ip, ip + 1)
-                    info["insert_point"] = ip
-                if spec.svtype == "dup_inv":
-                    ip = rng.randint(e + buffer // 2,
-                                     min(contig_len - buffer,
-                                         e + 3 * buffer))
+                if spec.svtype in ("dis_dup", "dup_inv"):
+                    lo = e + buffer // 2
+                    hi = min(contig_len - buffer, e + 3 * buffer)
+                    if hi <= lo:        # placed too close to the end
+                        continue
+                    ip = rng.randint(lo, hi)
                     extra_ok = free(ip, ip + 1)
                     info["insert_point"] = ip
                 if spec.svtype == "dup_inv_ins":
@@ -117,12 +113,14 @@ def place_svs(contig_len: int, chrom: str, specs: Sequence[SVSpec],
                     # inserts revcomp(b) before a
                     variant = rng.choice(["ab/aba^", "ab/b^ab"])
                     if variant == "ab/aba^":
-                        ip = rng.randint(e + buffer // 2,
-                                         min(contig_len - buffer,
-                                             e + 3 * buffer))
+                        lo = e + buffer // 2
+                        hi = min(contig_len - buffer, e + 3 * buffer)
                     else:
-                        ip = rng.randint(max(buffer, s - 3 * buffer),
-                                         s - buffer // 2)
+                        lo = max(buffer, s - 3 * buffer)
+                        hi = s - buffer // 2
+                    if hi <= lo:        # placed too close to an edge
+                        continue
+                    ip = rng.randint(lo, hi)
                     extra_ok = free(ip, ip + 1)
                     info["insert_point"] = ip
                     info["variant"] = variant
