@@ -216,7 +216,8 @@ def bench_e2e(backend="jax", n_events=int(os.environ.get(
                            "--pacbio-input", bam, "--output-path",
                            f"{tmpdir}/figs", "--output-file", out,
                            "--backend", backend, "--no-figures",
-                           "--pipeline", "8"])
+                           "--pipeline",
+                           os.environ.get("BENCH_PIPELINE", "8")])
         assert rc == 0
         return time.perf_counter() - t0, out
 
@@ -233,13 +234,15 @@ def bench_e2e(backend="jax", n_events=int(os.environ.get(
 
 
 def _ensure_live_device(
-        probe_timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT", "300")),
+        probe_timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT", "900")),
         attempts=int(os.environ.get("BENCH_PROBE_ATTEMPTS", "2")),
         backoff_s=30):
     """Probe device init in a subprocess; if it hangs or fails (e.g. a
     wedged TPU tunnel), retry with backoff — relay outages are often
     transient — then force the CPU platform so the benchmark always
-    completes."""
+    completes.  The timeout must comfortably exceed worst observed
+    claim latency (~6 min after a relay wedge): killing the probe
+    mid-claim is itself what wedges the grant."""
     import subprocess
     for i in range(attempts):
         try:

@@ -45,8 +45,13 @@ def main():
     ap.add_argument("--ks", default="10",
                     help="comma-separated k values (default 10 — the "
                          "dominant window; pass 10,20,30,40 for all)")
-    ap.add_argument("--batch-sizes", default="8,96",
-                    help="LADDER batch sizes to time at")
+    ap.add_argument("--batch-sizes", default="24,96",
+                    help="LADDER batch sizes to time at (B=8 pallas "
+                         "compiles have hung the relay — stick to "
+                         ">=24)")
+    ap.add_argument("--hr", default="",
+                    help="extra H:R pairs, comma-separated "
+                         "(e.g. 768:768,1024:768)")
     args = ap.parse_args()
 
     from vapor_tpu.engine import pallas_fused as pf
@@ -55,7 +60,12 @@ def main():
     bs = tuple(int(x) for x in args.batch_sizes.split(","))
     ks = tuple(int(x) for x in args.ks.split(","))
 
-    want = [(H, R, k, s) for (H, R) in DEFAULT_HR for k in ks
+    hr = list(DEFAULT_HR)
+    for pair in args.hr.split(","):
+        if pair:
+            h, r = pair.split(":")
+            hr.append((int(h), int(r)))
+    want = [(H, R, k, s) for (H, R) in hr for k in ks
             for s in SCORERS]
     if args.miss:
         try:

@@ -68,7 +68,9 @@ def _device_reachable() -> bool:
             [sys.executable, "-c",
              "import jax; jax.devices(); import jax.numpy as jnp; "
              "(jnp.ones((8,8)) @ jnp.ones((8,8))).block_until_ready()"],
-            timeout=float(os.environ.get("VAPOR_PROBE_TIMEOUT", "120")),
+            # must exceed worst observed claim latency (~6 min after a
+            # relay wedge): killing the probe mid-claim wedges the grant
+            timeout=float(os.environ.get("VAPOR_PROBE_TIMEOUT", "600")),
             check=True, capture_output=True)
         _PROBE_OK = True
     except Exception:
