@@ -172,6 +172,9 @@ class BamReader:
                 yield rec
 
 
+_SEQ_NIB_LUT = None        # lazy: numpy byte LUT for 4-bit seq codes
+
+
 def _parse_record(data: bytes, off: int) -> BamRecord:
     (ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
      _nrid, _npos, _tlen) = struct.unpack_from("<iiBBHHHiiii", data, off)
@@ -185,12 +188,19 @@ def _parse_record(data: bytes, off: int) -> BamRecord:
     cigar = "".join(cigar_parts) if cigar_parts else "*"
     p += 4 * n_cigar
     nbytes = (l_seq + 1) // 2
-    seq_chars = []
-    for i in range(l_seq):
-        b = data[p + (i >> 1)]
-        nib = (b >> 4) if i % 2 == 0 else (b & 0xF)
-        seq_chars.append(SEQ_NIBBLE[nib])
-    seq = "".join(seq_chars)
+    # vectorized nibble decode: the per-base Python loop was the
+    # dominant host cost of BAI-chunk reads (~37 ms/event at 2.5 kb
+    # reads)
+    global _SEQ_NIB_LUT
+    import numpy as np
+    if _SEQ_NIB_LUT is None:
+        _SEQ_NIB_LUT = np.frombuffer(SEQ_NIBBLE.encode("ascii"),
+                                     dtype=np.uint8)
+    packed = np.frombuffer(data, np.uint8, count=nbytes, offset=p)
+    codes = np.empty(nbytes * 2, np.uint8)
+    codes[0::2] = packed >> 4
+    codes[1::2] = packed & 0xF
+    seq = _SEQ_NIB_LUT[codes[:l_seq]].tobytes().decode("ascii")
     p += nbytes
     qual = data[p: p + l_seq]
     return BamRecord(name=name, flag=flag, ref_id=ref_id, pos0=pos,
