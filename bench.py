@@ -6,10 +6,11 @@ full scoring path (abs_dis_m1b semantics: 2 dotplot sides x 2 haplotypes
 per read, cleaning + metrics) on the default JAX device.
 
 Baseline: the reference engine (Simple_function.pyx imported as Python —
-the same source setup.py cythonizes) timed in-process on a subsample of
-the same work.  vs_baseline = ours / reference, in reads/s.  A fixed
-fallback baseline (measured on this container) is used when the
-reference checkout is absent.
+the same source setup.py cythonizes).  vs_baseline = ours divided by a
+PINNED baseline constant (median of 7 idle-machine timing runs — see
+PINNED_BASELINE_READS_PER_S); the reference is also re-timed live each
+run (median of 5 passes over a fixed subsample) and reported alongside
+for transparency.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -24,9 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 REFERENCE_PYX = "/root/reference/vapor_vali/Simple_function.pyx"
-# reads/s of the reference engine on this worklist, measured in this
-# container (used only if /root/reference is unmounted)
-FALLBACK_BASELINE_READS_PER_S = 2.5
+# Pinned reference-engine baseline: median of 7 independent
+# bench_reference runs (each itself a median of 5 passes over the
+# fixed 24-read subsample) on an otherwise-idle machine, 2026-08-21:
+# [14.62, 15.44, 15.56, 15.69, 15.73, 15.99, 16.15] reads/s.
+# vs_baseline uses this constant so the headline ratio can't swing
+# with CPU contention during the in-run measurement; the live
+# measurement is still taken and reported for transparency.
+PINNED_BASELINE_READS_PER_S = 15.69
 
 N_EVENTS = int(os.environ.get("BENCH_EVENTS", "12"))
 READS_PER_EVENT = int(os.environ.get("BENCH_READS", "20"))
@@ -277,9 +283,11 @@ def main():
     e2e_reads, e2e_events = bench_e2e(
         backend="jax" if device_ok else "numpy")
     if os.path.exists(REFERENCE_PYX):
-        base = bench_reference(events)
+        base_measured = bench_reference(events)
+        base = PINNED_BASELINE_READS_PER_S
     else:
-        base = FALLBACK_BASELINE_READS_PER_S
+        base_measured = None
+        base = PINNED_BASELINE_READS_PER_S
     # host/device split estimate: the engine metric is device-bound,
     # so per-read host cost ~ 1/e2e - 1/engine (pipeline overlap makes
     # this a lower bound on achievable e2e)
@@ -294,6 +302,9 @@ def main():
         "e2e_events_per_sec": round(e2e_events, 2),
         "host_ms_per_read_est": None if host_ms is None
         else round(host_ms, 3),
+        "baseline_pinned_reads_per_sec": base,
+        "baseline_measured_reads_per_sec": None if base_measured is None
+        else round(base_measured, 2),
     }))
 
 
