@@ -38,12 +38,25 @@ def main_bench():
     backend = sys.argv[2] if len(sys.argv) > 2 else "jax"
     with tempfile.TemporaryDirectory() as tmpdir:
         fa, bam, bed = build_worklist(tmpdir, n_events)
-        # warm compile caches (untimed)
+        # warm compile caches (untimed), then the full coalesced-shape
+        # ladder for every bucket seen — deeper pipelines coalesce into
+        # larger padded shapes that must not compile inside timed runs
         run(tmpdir, fa, bam, bed, backend, 8, "warm")
+        if backend in ("jax", "auto"):
+            try:
+                from vapor_tpu.engine.scoring import get_backend
+                be = get_backend(backend)
+                if hasattr(be, "warm_ladder"):
+                    t0 = time.perf_counter()
+                    n = be.warm_ladder(max_rows=480)
+                    print(f"warm_ladder: {n} shapes in "
+                          f"{time.perf_counter() - t0:.1f}s", flush=True)
+            except Exception as e:
+                print(f"warm_ladder failed: {e!r:.120}", flush=True)
         base_dt, base_out = run(tmpdir, fa, bam, bed, backend, 1, "p1")
         print(f"pipeline=1  {n_events / base_dt:7.2f} events/s "
               f"({base_dt:6.2f}s)", flush=True)
-        for depth in (4, 8, 16):
+        for depth in (4, 8, 16, 24):
             dt, out = run(tmpdir, fa, bam, bed, backend, depth,
                           f"p{depth}")
             same = "identical" if out == base_out else "MISMATCH!"

@@ -2,9 +2,10 @@
 verdict table, optionally emit the committed per-device-kind table.
 
 Production runs never time-probe inline (pallas_fused.choose_engine
-defaults unknown buckets to 'pallas'); this tool is where timing
-happens — at the LADDER batch sizes the batching layer actually emits
-(VERDICT r2 weak #4: the old inline probe timed at a fixed B=24).
+defaults unknown buckets to 'xla' — conservative, no compile-failure
+risk — and records the miss for this tool); timing happens here, at
+the LADDER batch sizes the batching layer actually emits (VERDICT r2
+weak #4: the old inline probe timed at a fixed B=24).
 
 Usage:
   python scripts/warmup_autotune.py                 # default bucket set
@@ -72,7 +73,13 @@ def main():
             with open(pf._tune_cache_path() + ".miss") as f:
                 for line in f:
                     parts = line.strip().split("|")
-                    if len(parts) == 6 and parts[1] == kind:
+                    if len(parts) != 6:
+                        if line.strip():
+                            print(f"warmup: malformed miss line "
+                                  f"skipped: {line.strip()!r:.100}",
+                                  file=sys.stderr)
+                        continue
+                    if parts[1] == kind:
                         want.append((int(parts[2][1:]),
                                      int(parts[3][1:]),
                                      int(parts[4][1:]), parts[5]))

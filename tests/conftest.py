@@ -13,6 +13,21 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Every LLVM-JIT'd CPU executable pins ~5 mmap regions; a cold-cache
+# full-suite run compiles enough programs to exhaust the default
+# vm.max_map_count=65530, which surfaces as fatal "LLVM compilation
+# error: Cannot allocate memory" / segfaults deep in jax (observed r4,
+# three crashes in test_pallas_fused).  Raise the limit when the
+# container permits (best-effort no-op otherwise); the shared
+# persistent XLA cache keeps warm runs well under the default limit.
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 262144:
+            _f.seek(0)
+            _f.write("262144")
+except Exception:
+    pass
+
 # the axon sitecustomize hard-sets jax_platforms="axon,cpu" before user
 # code runs; force it back so unit tests stay on the virtual-CPU mesh
 try:

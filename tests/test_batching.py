@@ -88,6 +88,49 @@ def test_batched_del_mode(events):
             base.score_del_batch(ref_l, alt, reads, 10)
 
 
+def test_async_burst_single_flush(events):
+    """All events dispatched before any finisher resolves (the bench /
+    breadth-first pipeline pattern): the flush spans many bucket
+    groups, exercising the combined single-fetch result path."""
+    base = FusedBackend()
+    bat = BatchingBackend()
+    jobs = [(SCORERS[i % len(SCORERS)], ev, 10)
+            for i, ev in enumerate(events)]
+    fins = [bat.score_batch_async(s, ref, alt, reads, w)
+            for s, (ref, alt, reads), w in jobs]
+    got = [fin() for fin in fins]
+    want = [base.score_batch(s, ref, alt, reads, w)
+            for s, (ref, alt, reads), w in jobs]
+    assert got == want
+
+
+def test_async_burst_single_device(events, monkeypatch):
+    """Same burst with the mesh disabled: every group lands on one
+    device, so the flush takes the device-concatenated single-fetch
+    path (the single-chip TPU production case)."""
+    monkeypatch.setenv("VAPOR_MESH", "0")
+    base = FusedBackend()
+    bat = BatchingBackend()
+    jobs = [(SCORERS[i % len(SCORERS)], ev, 10)
+            for i, ev in enumerate(events)]
+    fins = [bat.score_batch_async(s, ref, alt, reads, w)
+            for s, (ref, alt, reads), w in jobs]
+    got = [fin() for fin in fins]
+    want = [base.score_batch(s, ref, alt, reads, w)
+            for s, (ref, alt, reads), w in jobs]
+    assert got == want
+
+
+def test_warm_ladder_compiles_seen_buckets(events):
+    bat = BatchingBackend()
+    ref, alt, reads = events[0]
+    want = bat.score_batch("abs_dis_m1b", ref, alt, reads, 10)
+    n = bat.warm_ladder(max_rows=16)
+    assert n > 0
+    # scoring after warmup is unchanged
+    assert bat.score_batch("abs_dis_m1b", ref, alt, reads, 10) == want
+
+
 def test_batched_error_propagates():
     import numpy as np
     bat = BatchingBackend()

@@ -104,16 +104,19 @@ def _sample_name(path: str) -> str:
 
 
 def _shard(items: List, index: int, total: int,
-           dist: bool = False) -> List:
+           dist: bool = False, owner=None) -> List:
     """Worklist shard: manual --shard-index keeps plain round-robin;
     jax.distributed runs go contig-granular (parallel.multihost) so
     per-host BAM regions stay disjoint — the WDL per-contig scatter,
-    internalized."""
+    internalized.  ``owner`` shares one contig->shard map across
+    several per-type calls (vcf mode: the assignment must come from
+    the combined event list, or the same contig could be owned by
+    different shards for different SV types)."""
     if total <= 1:
         return list(items)
     if dist:
         from .parallel.multihost import shard_worklist
-        return shard_worklist(items, index, total)
+        return shard_worklist(items, index, total, owner=owner)
     return [x for i, x in enumerate(items) if i % total == index]
 
 
@@ -284,12 +287,20 @@ def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
             return
         append_result_row(out_name, organize_result(key, scores))
 
+    # one contig->shard assignment for ALL SV types: computed from the
+    # combined event list so the same contig is never owned by
+    # different shards for different types (per-host BAM disjointness)
+    dist_mode = bool(dist) or getattr(args, "shard_by_contig", False)
+    owner = None
+    if dist_mode and args.num_shards > 1:
+        from .parallel.multihost import contig_owner
+        owner = contig_owner(
+            [y for t in vcf_list for y in vcf_list[t] if "NA" not in y],
+            args.num_shards)
     tasks = []
     for sv_type in list(vcf_list.keys()):
         entries = _shard(vcf_list[sv_type], args.shard_index,
-                         args.num_shards,
-                         dist=bool(dist)
-                         or getattr(args, "shard_by_contig", False))
+                         args.num_shards, dist=dist_mode, owner=owner)
         for y in entries:
             if "NA" in y:
                 continue

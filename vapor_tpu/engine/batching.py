@@ -14,9 +14,17 @@ coalesces stat requests into combined ``fused_batch`` calls:
 Work rows are (read x haplotype) pairs — ``fused_batch`` takes per-row
 haplotypes — so grouping never changes any per-row result: parity with
 the unbatched backend is bit-exact (tests/test_batching.py).
+
+One flush = one fetch: every bucket group launched in a flush has its
+packed rows flattened and device-concatenated, and the collector fetches
+the single combined array.  On the relay link each ``np.asarray`` holds
+the GIL for the whole ~10-20 ms RPC, so a flush spanning G bucket groups
+used to cost G serialized fetch latencies; now it costs one
+(VAPOR_TPU_COMBINE_FETCH=0 restores per-group fetches for A/B runs).
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -32,8 +40,9 @@ from .kernel import HAP_PAD, READ_PAD
 
 # flush tuning: wait LINGER for the next request after each arrival,
 # never more than MAX_WAIT total — both well under one fetch latency.
-LINGER_S = 0.003
-MAX_WAIT_S = 0.012
+LINGER_S = float(os.environ.get("VAPOR_TPU_LINGER", "0.003"))
+MAX_WAIT_S = float(os.environ.get("VAPOR_TPU_MAX_WAIT", "0.012"))
+COMBINE_FETCH = os.environ.get("VAPOR_TPU_COMBINE_FETCH", "1") != "0"
 
 # padded row-count ladder: bounds XLA compilations per (H, R, mode)
 # to len(LADDER) while keeping padding waste ~15% (every size is a
@@ -44,7 +53,8 @@ LADDER = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
 # target ~40-60 ms of device time per combined call (~76 ps/cell on
 # v5e): long enough to hide the ~23 ms relay fetch of the previous
 # call, short enough that several calls pipeline per flush
-CELL_BUDGET = 1 << 29
+# (env-tunable for on-chip experiments)
+CELL_BUDGET = int(os.environ.get("VAPOR_TPU_CELL_BUDGET", str(1 << 29)))
 
 
 def _pad_rows(n: int) -> int:
@@ -64,6 +74,12 @@ def _row_cap(H: int, R: int) -> int:
 
 class _Req:
     __slots__ = ("hap", "fw", "rc", "rlens", "ms", "B", "key", "fut")
+
+
+# every (H, R, scorer, window) bucket submitted in this process —
+# module-level so a warm run's keys survive into a later backend
+# instance (bench_e2e builds a fresh CLI context per pass)
+_SEEN_KEYS: set = set()
 
 
 class _RowFut:
@@ -101,6 +117,7 @@ class BatchingBackend(FusedBackend):
         r.hap, (r.fw, r.rc, r.rlens, r.ms) = hap_codes, enc
         r.B = r.fw.shape[0]
         r.key = (H, R, scorer, window // 10 - 1)
+        _SEEN_KEYS.add(r.key)
         r.fut = Future()
         self._q.put(r)
         return r.fut
@@ -118,6 +135,7 @@ class BatchingBackend(FusedBackend):
         r.rlens = np.asarray([length], np.int32)
         r.B = 1
         r.key = (H, H, "selfstats", window // 10 - 1)
+        _SEEN_KEYS.add(r.key)
         r.fut = Future()
         self._q.put(r)
         return _RowFut(r.fut)
@@ -163,40 +181,78 @@ class BatchingBackend(FusedBackend):
         """Group requests and launch device calls; result fetching is
         the collector thread's job, so the dispatcher keeps launching
         while earlier calls' fetches block (the device never idles
-        behind the relay latency)."""
+        behind the relay latency).  All groups of one flush share a
+        single device-concatenated result array — one fetch RPC per
+        flush, not per group."""
         groups = defaultdict(list)
         for r in batch:
             groups[r.key].append(r)
+        launched = []
         for key, reqs in groups.items():
             H, R, _, _ = key
             cap = _row_cap(H, R)
             sub, rows = [], 0
             for r in reqs:
                 if sub and rows + r.B > cap:
-                    self._launched.put((sub, self._launch(key, sub)))
+                    launched.append((sub, self._launch(key, sub)))
                     sub, rows = [], 0
                 sub.append(r)
                 rows += r.B
             if sub:
-                self._launched.put((sub, self._launch(key, sub)))
+                launched.append((sub, self._launch(key, sub)))
+        if not launched:
+            return
+        combined = None
+        if len(launched) > 1 and COMBINE_FETCH:
+            # combine only when every group's rows live on one common
+            # device (the single-chip production case): concatenating
+            # arrays sharded over different dp meshes (the virtual
+            # multi-device CPU tests) is an error in jit dispatch
+            try:
+                devs = set()
+                for _, out in launched:
+                    devs |= out[2].devices()
+                if len(devs) == 1:
+                    combined = jnp.concatenate(
+                        [out[2].reshape(-1) for _, out in launched])
+            except Exception:
+                combined = None
+        self._launched.put((launched, combined))
 
     def _collect(self):
         while True:
-            sub, out = self._launched.get()
-            try:
-                h_d, h_a, packed = out
-                pk = np.asarray(packed)
-                o = 0
-                for r in sub:
-                    r.fut.set_result((
-                        None if h_d is None else h_d[o:o + r.B],
-                        None if h_a is None else h_a[o:o + r.B],
-                        pk[o:o + r.B]))
-                    o += r.B
-            except BaseException as e:
-                for r in sub:
-                    if not r.fut.done():
-                        r.fut.set_exception(e)
+            launched, combined = self._launched.get()
+            flat = None
+            if combined is not None:
+                try:
+                    flat = np.asarray(combined)
+                except BaseException as e:
+                    for sub, _ in launched:
+                        for r in sub:
+                            if not r.fut.done():
+                                r.fut.set_exception(e)
+                    continue
+            off = 0
+            for sub, out in launched:
+                try:
+                    h_d, h_a, packed = out
+                    if flat is not None:
+                        n = packed.shape[0] * packed.shape[1]
+                        pk = flat[off:off + n].reshape(packed.shape)
+                        off += n
+                    else:
+                        pk = np.asarray(packed)
+                    o = 0
+                    for r in sub:
+                        r.fut.set_result((
+                            None if h_d is None else h_d[o:o + r.B],
+                            None if h_a is None else h_a[o:o + r.B],
+                            pk[o:o + r.B]))
+                        o += r.B
+                except BaseException as e:
+                    for r in sub:
+                        if not r.fut.done():
+                            r.fut.set_exception(e)
 
     def _launch(self, key, sub):
         H, R, scorer, kidx = key
@@ -234,3 +290,44 @@ class BatchingBackend(FusedBackend):
                            jnp.asarray(rc), jnp.asarray(rlens),
                            jnp.asarray(ms), jnp.int32(kidx),
                            H=H, R=R, scorer=scorer)
+
+    # -- warmup --------------------------------------------------------
+
+    def warm_ladder(self, max_rows: int = 0) -> int:
+        """Compile every LADDER padded-row shape (up to the per-bucket
+        cell cap, and optionally up to ``max_rows``) for each bucket
+        seen so far in this process.
+
+        Deeper pipelines coalesce into larger padded shapes whose
+        flush-timing-dependent mix means a timed/production pass can hit
+        fresh XLA compiles mid-run (the --pipeline > 8 collapse,
+        PERF_NOTES.md r3).  Warming the full ladder once — persisted by
+        the XLA disk compilation cache — removes that cliff.  Returns
+        the number of shapes executed."""
+        done = 0
+        outs = []
+        for key in sorted(_SEEN_KEYS):
+            H, R, scorer, kidx = key
+            cap = _row_cap(H, R)
+            for P in LADDER:
+                if P > cap or (max_rows and P > _pad_rows(max_rows)):
+                    break
+                r = _Req()
+                r.B = P
+                r.key = key
+                if scorer == "selfstats":
+                    r.hap = np.full((P, H), HAP_PAD, np.uint8)
+                    r.fw = np.full((P, H), 251, np.uint8)
+                    r.rc = r.ms = None
+                    r.rlens = np.zeros(P, np.int32)
+                else:
+                    r.hap = np.full((P, H), HAP_PAD, np.uint8)
+                    r.fw = np.full((P, R), READ_PAD, np.uint8)
+                    r.rc = np.full((P, R), READ_PAD, np.uint8)
+                    r.rlens = np.ones(P, np.int32)
+                    r.ms = np.zeros(P, np.int32)
+                outs.append(self._launch(key, [r])[2].reshape(-1)[:1])
+                done += 1
+        if outs:
+            np.asarray(jnp.concatenate(outs))   # block until compiled
+        return done

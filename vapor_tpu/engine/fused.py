@@ -582,9 +582,11 @@ def _maybe_pallas_rows(haps, reads, rcs, rlens, ms, k_idx, H: int,
     warmup-measured verdicts; unknown buckets run XLA — see
     PERF_NOTES.md for the round-3 A/B); off on CPU where Mosaic
     kernels only run interpreted.  VAPOR_TPU_PALLAS=0 disables,
-    =force enables even on CPU (interpret mode — tests).  A bucket
-    whose kernel fails at call time falls back to the XLA engine and
-    is blacklisted (pallas_fused.blacklist_bucket)."""
+    =1 forces pallas for every supported bucket (bypassing the
+    routing table — A/B runs), =force enables even on CPU (interpret
+    mode — tests).  A bucket whose kernel fails at call time falls
+    back to the XLA engine and is blacklisted
+    (pallas_fused.blacklist_bucket)."""
     if scorer not in ("m1b", "w10", "del", "rdd"):
         return None
     env = os.environ.get("VAPOR_TPU_PALLAS", "auto").lower()
@@ -603,7 +605,11 @@ def _maybe_pallas_rows(haps, reads, rcs, rlens, ms, k_idx, H: int,
         return None
     from .pallas_fused import (PALLAS_BATCHES, blacklist_bucket,
                                probe_bucket)
-    if not probe_bucket(H, R, k, scorer, interpret=interpret):
+    if env in ("1", "on", "always") and not interpret:
+        from .pallas_fused import _BLACKLIST
+        if (H, R, k, scorer) in _BLACKLIST:
+            return None              # call-time kernel failure only
+    elif not probe_bucket(H, R, k, scorer, interpret=interpret):
         return None
     try:
         return PALLAS_BATCHES[scorer](haps, reads, rcs, rlens, ms,

@@ -1038,6 +1038,10 @@ PALLAS_BATCHES = {"m1b": pallas_m1b_batch, "w10": pallas_w10_batch,
 # a bucket times both engines once and the verdict is memoized here
 # and persisted to disk (survives processes; keyed by device kind).
 _CHOICE: dict = {}
+# buckets whose pallas kernel FAILED at call time this process (a
+# routing verdict of 'xla' is not a failure; forced-pallas A/B runs
+# honor only this set, not the table)
+_BLACKLIST: set = set()
 _TUNE_B = 24          # matches the dominant production ladder size
 _TUNE_REPS = 3
 # bump when kernel code changes: invalidates persisted autotune
@@ -1113,11 +1117,12 @@ def _packaged_table(kind: str) -> dict:
 
 
 def measure_bucket(H: int, R: int, k: int, scorer: str,
-                   batch_sizes=(8, 96), reps: int = _TUNE_REPS) -> dict:
+                   batch_sizes=(24, 96), reps: int = _TUNE_REPS) -> dict:
     """Time pallas vs XLA for one bucket at the given batch sizes
-    (LADDER shapes the batching layer actually emits) and return
-    {'pallas': total_s, 'xla': total_s, 'choice': ...}.  Used by the
-    warmup tool — never called from the production scoring path.
+    (LADDER shapes the batching layer actually emits; B=8 pallas
+    compiles have hung the relay, so the default starts at 24) and
+    return {'pallas': total_s, 'xla': total_s, 'choice': ...}.  Used by
+    the warmup tool — never called from the production scoring path.
     np.asarray is the only honest sync over the axon relay."""
     import time
     import numpy as np
@@ -1150,14 +1155,20 @@ def measure_bucket(H: int, R: int, k: int, scorer: str,
 def blacklist_bucket(H: int, R: int, k: int, scorer: str,
                      exc: BaseException) -> None:
     """Record a production-time pallas failure for this bucket.  Only
-    genuine compile/lowering/VMEM failures persist to disk; a transient
-    device/relay error pins 'xla' for this process only."""
+    deterministic compile/lowering/scoped-VMEM failures persist to
+    disk; anything else (including bare RESOURCE_EXHAUSTED / Internal
+    statuses, which can be transient relay or device errors) pins
+    'xla' for this process only."""
     key = (H, R, k, scorer)
     _CHOICE[key] = "xla"
+    _BLACKLIST.add(key)
     msg = repr(exc)
+    # persist only deterministic compile/lowering failures; broad
+    # status strings (RESOURCE_EXHAUSTED, Internal) can be transient
+    # relay/device errors and must stay process-local (ADVICE r3)
     if any(s in msg for s in (
-            "Mosaic", "mosaic", "RESOURCE_EXHAUSTED", "vmem", "VMEM",
-            "lowering", "Unsupported", "UNIMPLEMENTED", "Internal")):
+            "Mosaic", "mosaic", "vmem exceeded", "scoped vmem",
+            "lowering", "Unsupported", "UNIMPLEMENTED")):
         disk = _load_tune_cache()
         disk[_bucket_skey(_device_kind(), H, R, k, scorer)] = "xla"
         _save_tune_cache(disk)
@@ -1202,8 +1213,16 @@ def choose_engine(H: int, R: int, k: int, scorer: str) -> str:
         return choice
     _CHOICE[key] = "xla"
     try:                                # record the miss for warmup
-        with open(_tune_cache_path() + ".miss", "a") as f:
-            f.write(skey + "\n")
+        path = _tune_cache_path() + ".miss"
+        seen = set()
+        try:
+            with open(path) as f:
+                seen = {ln.strip() for ln in f}
+        except OSError:
+            pass
+        if skey not in seen:            # dedup: repeated runs would
+            with open(path, "a") as f:  # grow the file unboundedly
+                f.write(skey + "\n")
     except Exception:
         pass
     return "xla"

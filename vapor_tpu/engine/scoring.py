@@ -26,7 +26,12 @@ class NumpyBackend:
 
 def _enable_compilation_cache() -> None:
     """Persistent XLA compilation cache: bucketed shapes compile once
-    per machine, not once per process (first TPU compiles are ~4-40s)."""
+    per machine, not once per process (first TPU compiles are ~4-40s).
+    Also valuable on CPU: a cold full-test-suite run does ~2.5x the
+    wall time AND enough LLVM-JIT compilation that mmap regions can
+    exhaust a default vm.max_map_count (observed r4 as fatal 'LLVM
+    compilation error: Cannot allocate memory' — see tests/conftest.py,
+    which also raises the limit when permitted)."""
     try:
         import jax
         cache_dir = os.environ.get(

@@ -11,9 +11,12 @@ files: ``chrom:S-E`` (1-based inclusive) returns records with
 reference-consuming CIGAR length — in file order, which for a sorted BAM
 is exactly the order ``samtools view`` emits.
 
-A ``.bai``-driven seek path and a C++ decoder are planned follow-ups; the
-pure-Python scan is the correctness baseline (tests) and works for the
-region sizes VaPoR touches (<= ~12 kb windows).
+The read-gather layer (io/reads.py) prefers the ``.bai``-driven random
+-access path (io/bai.py, ``IndexedBam``) when an index is present, and
+this module's inflation goes through the on-demand-built C++ codec
+(native/bamcodec.cpp) when available; the pure-Python whole-file scan
+below is the correctness baseline (tests) and the fallback for
+index-less files.
 """
 from __future__ import annotations
 

@@ -46,18 +46,24 @@ def initialize(coordinator: Optional[str] = None,
     return jax.process_index(), jax.process_count()
 
 
-def shard_worklist(events: Sequence, process_id: int, num_processes: int,
-                   contig_of=lambda e: str(e[0])) -> List:
-    """Deterministic worklist shard for this host.
+def contig_of_event(e) -> str:
+    """Contig name of a worklist entry.  Block-structured entries
+    (DEL_INV: [[chr, s, e], [chr, s, e]]) nest the contig one level
+    down — unwrap so every SV type keys on the same contig string."""
+    c = e[0]
+    while isinstance(c, (list, tuple)):
+        c = c[0]
+    return str(c)
 
-    Contig-granular when there are at least as many contigs as hosts
-    (keeps per-host BAM regions disjoint — the WDL per-contig scatter,
-    internalized), with contigs packed greedily by event count so few
-    large contigs don't pile onto one host; event round-robin
-    otherwise.  Deterministic: every host computes the same assignment.
-    """
-    if num_processes <= 1:
-        return list(events)
+
+def contig_owner(events: Sequence, num_processes: int,
+                 contig_of=contig_of_event) -> Optional[Dict[str, int]]:
+    """Greedy-balanced contig -> host map over a full worklist, or
+    None when there are fewer contigs than hosts (callers then fall
+    back to event round-robin).  Computing this ONCE over the combined
+    event list — not per SV type — keeps per-host BAM regions disjoint
+    even when types have different per-contig counts (ADVICE r3).
+    Deterministic: every host computes the same assignment."""
     contigs = []
     counts: Dict[str, int] = {}
     for e in events:
@@ -66,18 +72,40 @@ def shard_worklist(events: Sequence, process_id: int, num_processes: int,
             contigs.append(c)
             counts[c] = 0
         counts[c] += 1
-    if len(contigs) >= num_processes:
-        # largest contig first onto the least-loaded host (greedy
-        # balance; first-appearance order breaks count ties)
-        first = {c: i for i, c in enumerate(contigs)}
-        order = sorted(contigs, key=lambda c: (-counts[c], first[c]))
-        load = [0] * num_processes
-        owner: Dict[str, int] = {}
-        for c in order:
-            h = min(range(num_processes), key=lambda i: (load[i], i))
-            owner[c] = h
-            load[h] += counts[c]
-        return [e for e in events if owner[contig_of(e)] == process_id]
+    if len(contigs) < num_processes:
+        return None
+    # largest contig first onto the least-loaded host (greedy
+    # balance; first-appearance order breaks count ties)
+    first = {c: i for i, c in enumerate(contigs)}
+    order = sorted(contigs, key=lambda c: (-counts[c], first[c]))
+    load = [0] * num_processes
+    owner: Dict[str, int] = {}
+    for c in order:
+        h = min(range(num_processes), key=lambda i: (load[i], i))
+        owner[c] = h
+        load[h] += counts[c]
+    return owner
+
+
+def shard_worklist(events: Sequence, process_id: int, num_processes: int,
+                   contig_of=contig_of_event,
+                   owner: Optional[Dict[str, int]] = None) -> List:
+    """Deterministic worklist shard for this host.
+
+    Contig-granular when there are at least as many contigs as hosts
+    (keeps per-host BAM regions disjoint — the WDL per-contig scatter,
+    internalized), with contigs packed greedily by event count so few
+    large contigs don't pile onto one host; event round-robin
+    otherwise.  Pass ``owner`` (from contig_owner over the FULL
+    worklist) to share one assignment across several per-type calls.
+    """
+    if num_processes <= 1:
+        return list(events)
+    if owner is None:
+        owner = contig_owner(events, num_processes, contig_of)
+    if owner is not None:
+        return [e for e in events
+                if owner.get(contig_of(e), 0) == process_id]
     return [e for i, e in enumerate(events)
             if i % num_processes == process_id]
 
