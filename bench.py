@@ -227,7 +227,7 @@ def bench_e2e(backend="jax", n_events=int(os.environ.get(
                            f"{tmpdir}/figs", "--output-file", out,
                            "--backend", backend, "--no-figures",
                            "--pipeline",
-                           os.environ.get("BENCH_PIPELINE", "8")])
+                           os.environ.get("BENCH_PIPELINE", "24")])
         assert rc == 0
         return time.perf_counter() - t0, out
 

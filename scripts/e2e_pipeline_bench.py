@@ -6,7 +6,8 @@ one contig, each with spanning donor+ref reads), then times the full
 scoring, genotyping, TSV writing — at several pipeline depths, checking
 the outputs stay byte-identical.
 
-Usage: python scripts/e2e_pipeline_bench.py [n_events] [backend]
+Usage: python scripts/e2e_pipeline_bench.py [n_events] [backend] [depths]
+  depths: comma-separated --pipeline values (default 4,8,16,24)
 """
 import os
 import sys
@@ -36,6 +37,8 @@ def run(tmpdir, fa, bam, bed, backend, depth, tag):
 def main_bench():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     backend = sys.argv[2] if len(sys.argv) > 2 else "jax"
+    depths = tuple(int(x) for x in sys.argv[3].split(",")) \
+        if len(sys.argv) > 3 else (4, 8, 16, 24)
     with tempfile.TemporaryDirectory() as tmpdir:
         fa, bam, bed = build_worklist(tmpdir, n_events)
         # warm compile caches (untimed), then the full coalesced-shape
@@ -56,7 +59,7 @@ def main_bench():
         base_dt, base_out = run(tmpdir, fa, bam, bed, backend, 1, "p1")
         print(f"pipeline=1  {n_events / base_dt:7.2f} events/s "
               f"({base_dt:6.2f}s)", flush=True)
-        for depth in (4, 8, 16, 24):
+        for depth in depths:
             dt, out = run(tmpdir, fa, bam, bed, backend, depth,
                           f"p{depth}")
             same = "identical" if out == base_out else "MISMATCH!"

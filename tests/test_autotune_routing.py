@@ -74,9 +74,13 @@ def test_blacklist_persists_only_compile_failures():
     assert pf.choose_engine(640, 640, 10, "m1b") == "xla"
 
 
-def test_committed_v5e_table_is_valid():
-    table = pf._packaged_table("TPU_v5_lite")
-    assert len(table) >= 100
-    prefix = f"v{pf.ENGINE_VERSION}|TPU_v5_lite|"
-    assert all(k.startswith(prefix) for k in table)
-    assert set(table.values()) <= {"pallas", "xla"}
+def test_no_packaged_v5e_table():
+    """The r3 per-bucket v5e table was RETIRED in r4: the interleaved
+    worklist-level A/B (AB_r4.json) measured all-XLA faster than
+    table-routed pallas on every pass (~600 vs ~385 reads/s) — the
+    B=24/96 micro-probes behind the table did not transfer to
+    production call mixes.  With no table, every bucket falls to the
+    XLA default; pallas remains available via VAPOR_TPU_PALLAS=1 and
+    a future table must be validated by scripts/ab_engines.py before
+    being committed."""
+    assert pf._packaged_table("TPU_v5_lite") == {}

@@ -146,9 +146,10 @@ def test_fused_batch_routes_to_pallas(monkeypatch):
     from vapor_tpu.engine import fused
     H, R, k = 256, 256, 10
     haps, reads, rcs, rlens, ms = _batch(H, R, 4, seed=7)
+    # k_idx is a python int at the host entry (a device scalar would
+    # skip the pallas routing check — it may not be fetched per call)
     _, _, want = fused.fused_batch(haps, reads, rcs, rlens, ms,
-                                   jnp.int32(0), H=H, R=R,
-                                   scorer="m1b")
+                                   0, H=H, R=R, scorer="m1b")
     monkeypatch.setenv("VAPOR_TPU_PALLAS", "force")
     # the 8-virtual-device conftest mesh would intercept first; force
     # the single-device route so the pallas branch is reachable
@@ -165,8 +166,7 @@ def test_fused_batch_routes_to_pallas(monkeypatch):
 
     monkeypatch.setattr(fused, "_maybe_pallas_rows", spy)
     _, _, got = fused.fused_batch(haps, reads, rcs, rlens, ms,
-                                  jnp.int32(0), H=H, R=R,
-                                  scorer="m1b")
+                                  0, H=H, R=R, scorer="m1b")
     assert called.get("pallas"), "pallas path was not taken"
     dg, dw = _decode(got), _decode(want)
     for key in dg:

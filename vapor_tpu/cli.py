@@ -87,11 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="scatter mode: worklist format")
     parser.add_argument("--jobs", type=int, default=1,
                         help="scatter mode: concurrent shard processes")
-    parser.add_argument("--pipeline", type=int, default=8,
+    parser.add_argument("--pipeline", type=int, default=24,
                         help="overlap host prep and device scoring "
                              "across N events (output order unchanged; "
                              "--pipeline 1 restores strictly sequential "
-                             "event processing)")
+                             "event processing; 24 is the measured v5e "
+                             "sweet spot now that the coalesced-shape "
+                             "ladder pre-compiles)")
     parser.add_argument("--validate-vcf-tandup", action="store_true",
                         help="score DUP/TANDUP records in vcf mode "
                              "(the reference silently drops them; "

@@ -15,12 +15,17 @@ Work rows are (read x haplotype) pairs — ``fused_batch`` takes per-row
 haplotypes — so grouping never changes any per-row result: parity with
 the unbatched backend is bit-exact (tests/test_batching.py).
 
-One flush = one fetch: every bucket group launched in a flush has its
-packed rows flattened and device-concatenated, and the collector fetches
-the single combined array.  On the relay link each ``np.asarray`` holds
-the GIL for the whole ~10-20 ms RPC, so a flush spanning G bucket groups
-used to cost G serialized fetch latencies; now it costs one
-(VAPOR_TPU_COMBINE_FETCH=0 restores per-group fetches for A/B runs).
+Fetch strategy: on the relay link each ``np.asarray`` holds the GIL
+for the whole ~10-20 ms RPC, so a flush spanning G bucket groups used
+to pay G serialized fetch latencies.  The dispatcher now issues
+``copy_to_host_async`` for every group at flush time — the relay runs
+the transfers concurrently, so the collector's per-group fetches find
+the bytes already host-side (measured: 4 ready fetches 110 ms plain vs
+25 ms after the async issue) while groups still resolve individually,
+which the breadth-first CLI pipeline needs to keep dispatching.
+(VAPOR_TPU_COMBINE_FETCH=1 selects the alternative single
+device-concatenated fetch per flush — wins on all-at-once bursts,
+convoy-locks pipelined runs.)
 """
 from __future__ import annotations
 
@@ -42,7 +47,9 @@ from .kernel import HAP_PAD, READ_PAD
 # never more than MAX_WAIT total — both well under one fetch latency.
 LINGER_S = float(os.environ.get("VAPOR_TPU_LINGER", "0.003"))
 MAX_WAIT_S = float(os.environ.get("VAPOR_TPU_MAX_WAIT", "0.012"))
-COMBINE_FETCH = os.environ.get("VAPOR_TPU_COMBINE_FETCH", "1") != "0"
+# per-group fetches with async host copies are the default (see
+# _flush); =1 switches to one device-concatenated fetch per flush
+COMBINE_FETCH = os.environ.get("VAPOR_TPU_COMBINE_FETCH", "0") == "1"
 
 # padded row-count ladder: bounds XLA compilations per (H, R, mode)
 # to len(LADDER) while keeping padding waste ~15% (every size is a
@@ -202,12 +209,24 @@ class BatchingBackend(FusedBackend):
                 launched.append((sub, self._launch(key, sub)))
         if not launched:
             return
+        # start every group's device->host transfer NOW, without
+        # blocking: the relay runs the copies concurrently, so the
+        # collector's per-group np.asarray mostly finds the bytes
+        # already on the host (measured on the axon relay: 4 ready
+        # fetches 110 ms serialized vs 25 ms after async copy issue).
+        # Groups still RESOLVE individually, which the pipelined CLI
+        # needs — a flush-combined single fetch convoy-locked the
+        # breadth-first scheduler (depth-24 e2e 15.0 vs 39.6 events/s).
+        for _, out in launched:
+            try:
+                out[2].copy_to_host_async()
+            except Exception:
+                pass
         combined = None
         if len(launched) > 1 and COMBINE_FETCH:
-            # combine only when every group's rows live on one common
-            # device (the single-chip production case): concatenating
-            # arrays sharded over different dp meshes (the virtual
-            # multi-device CPU tests) is an error in jit dispatch
+            # optional A/B path: one device-concatenated fetch per
+            # flush (wins on all-at-once bursts, loses pipelined; only
+            # valid when every group lives on one common device)
             try:
                 devs = set()
                 for _, out in launched:
@@ -275,20 +294,28 @@ class BatchingBackend(FusedBackend):
         P = _pad_rows(rows)
         haps = np.full((P, H), HAP_PAD, np.uint8)
         fw = np.full((P, R), READ_PAD, np.uint8)
-        rc = np.full((P, R), READ_PAD, np.uint8)
+        # rc rows are device-derived from fw (engine.fused) — only
+        # pack/upload them when a request actually carries them
+        has_rc = any(r.rc is not None for r in sub)
+        rc = np.full((P, R), READ_PAD, np.uint8) if has_rc else None
         rlens = np.ones(P, np.int32)
         ms = np.zeros(P, np.int32)
         o = 0
         for r in sub:
             haps[o:o + r.B] = r.hap
             fw[o:o + r.B] = r.fw
-            rc[o:o + r.B] = r.rc
+            if has_rc:
+                rc[o:o + r.B] = r.rc
             rlens[o:o + r.B] = r.rlens
             ms[o:o + r.B] = r.ms
             o += r.B
+        # kidx stays a python int: the engine-routing check in
+        # fused_batch must never see a device scalar (int() on one is
+        # a blocking relay fetch per call)
         return fused_batch(jnp.asarray(haps), jnp.asarray(fw),
-                           jnp.asarray(rc), jnp.asarray(rlens),
-                           jnp.asarray(ms), jnp.int32(kidx),
+                           None if rc is None else jnp.asarray(rc),
+                           jnp.asarray(rlens),
+                           jnp.asarray(ms), kidx,
                            H=H, R=R, scorer=scorer)
 
     # -- warmup --------------------------------------------------------
@@ -323,7 +350,7 @@ class BatchingBackend(FusedBackend):
                 else:
                     r.hap = np.full((P, H), HAP_PAD, np.uint8)
                     r.fw = np.full((P, R), READ_PAD, np.uint8)
-                    r.rc = np.full((P, R), READ_PAD, np.uint8)
+                    r.rc = None     # production ships fw only
                     r.rlens = np.ones(P, np.int32)
                     r.ms = np.zeros(P, np.int32)
                 outs.append(self._launch(key, [r])[2].reshape(-1)[:1])

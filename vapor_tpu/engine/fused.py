@@ -216,6 +216,26 @@ _HITS_IMPLS = {"packed": _hits_packed, "mxu": _hits_mxu,
 HITS_IMPL = "packed"
 
 
+@jax.jit
+def _derive_rc_batch(reads, rlens):
+    return jax.vmap(_derive_rc_row)(reads, rlens)
+
+
+def _derive_rc_row(read: jnp.ndarray, rlen: jnp.ndarray) -> jnp.ndarray:
+    """Reverse-complement code row derived ON DEVICE from the forward
+    row — bit-identical to the host's encode_comp(seq)[::-1] + pad
+    (oracle.encode_comp is a pure code-level LUT).  Hosts used to
+    upload both strands; the relay moves ~25 MB/s, so shipping fw only
+    halves the dominant host->device payload.  The padded tail maps
+    through the LUT to the 0xFE never-matches sentinel and is sliced
+    away, so the result equals the host row byte for byte."""
+    R = read.shape[0]
+    comp = jnp.asarray(oracle._COMP_LUT)[read]
+    ext = jnp.concatenate([jnp.flip(comp),
+                           jnp.full((R,), READ_PAD, jnp.uint8)])
+    return lax.dynamic_slice(ext, (R - rlen,), (R,))
+
+
 # ---------------------------------------------------------------------------
 # hierarchical skew-reduce / unskew-broadcast
 # ---------------------------------------------------------------------------
@@ -555,22 +575,35 @@ def _chunked_rows(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
     """Packed per-row stats for a row count divisible by `width`
     (scalars ++ moments, one int32 row per (read, hap) pair).  Shared
     by the single-device jit and the shard_map per-device body — the
-    multi-chip path runs byte-identical per-row computation."""
+    multi-chip path runs byte-identical per-row computation.
+    rcs=None derives the reverse-complement rows on device
+    (_derive_rc_row) so hosts ship the forward strand only."""
     n_chunks = reads.shape[0] // width
 
     def one(hap, read, rc, rlen, m):
+        if rc is None:
+            rc = _derive_rc_row(read, rlen)
         _h_d, _h_a, scalars, mom = _fused_one(hap, read, rc, rlen, m,
                                               k_idx, H, R, scorer)
         return jnp.concatenate([scalars, mom])
 
-    def chunk(args):
-        return jax.vmap(one)(*args)
-
-    out = lax.map(chunk, (haps.reshape(n_chunks, width, -1),
-                          reads.reshape(n_chunks, width, -1),
-                          rcs.reshape(n_chunks, width, -1),
-                          rlens.reshape(n_chunks, width),
-                          ms.reshape(n_chunks, width)))
+    if rcs is None:
+        def chunk(args):
+            h, r, rl, m = args
+            return jax.vmap(lambda hh, rr, ll, mm:
+                            one(hh, rr, None, ll, mm))(h, r, rl, m)
+        out = lax.map(chunk, (haps.reshape(n_chunks, width, -1),
+                              reads.reshape(n_chunks, width, -1),
+                              rlens.reshape(n_chunks, width),
+                              ms.reshape(n_chunks, width)))
+    else:
+        def chunk(args):
+            return jax.vmap(one)(*args)
+        out = lax.map(chunk, (haps.reshape(n_chunks, width, -1),
+                              reads.reshape(n_chunks, width, -1),
+                              rcs.reshape(n_chunks, width, -1),
+                              rlens.reshape(n_chunks, width),
+                              ms.reshape(n_chunks, width)))
     return out.reshape(n_chunks * width, -1)
 
 
@@ -578,15 +611,17 @@ def _maybe_pallas_rows(haps, reads, rcs, rlens, ms, k_idx, H: int,
                        R: int, scorer: str):
     """Route to the full-fusion Pallas engine when it applies.
 
-    Routing is table-driven per bucket (pallas_fused.choose_engine:
-    warmup-measured verdicts; unknown buckets run XLA — see
-    PERF_NOTES.md for the round-3 A/B); off on CPU where Mosaic
+    Production default is the XLA engine for EVERY bucket: the r4
+    interleaved worklist-level A/B (AB_r4.json) measured all-XLA
+    faster than pallas/table-routed on every latency-matched pass
+    (~600 vs ~385 reads/s), so the r3 per-bucket table was retired —
+    choose_engine still consults the on-disk/packaged verdicts, but no
+    table ships and unknown buckets run XLA.  Off on CPU where Mosaic
     kernels only run interpreted.  VAPOR_TPU_PALLAS=0 disables,
-    =1 forces pallas for every supported bucket (bypassing the
-    routing table — A/B runs), =force enables even on CPU (interpret
-    mode — tests).  A bucket whose kernel fails at call time falls
-    back to the XLA engine and is blacklisted
-    (pallas_fused.blacklist_bucket)."""
+    =1 forces pallas for every supported bucket (A/B runs), =force
+    enables even on CPU (interpret mode — tests).  A bucket whose
+    kernel fails at call time falls back to the XLA engine and is
+    blacklisted (pallas_fused.blacklist_bucket)."""
     if scorer not in ("m1b", "w10", "del", "rdd"):
         return None
     env = os.environ.get("VAPOR_TPU_PALLAS", "auto").lower()
@@ -597,12 +632,22 @@ def _maybe_pallas_rows(haps, reads, rcs, rlens, ms, k_idx, H: int,
     except Exception:
         return None
     interpret = platform == "cpu"
+    # never compile pallas kernels for small row batches on hardware:
+    # B=8 Mosaic compiles have HUNG the remote compile service >1h and
+    # held the chip (twice across rounds — warmup probes stick to
+    # B>=24 for the same reason), and the measured pallas wins are at
+    # B=24/96 anyway.  Small flushes run the XLA engine.
+    if not interpret and reads.shape[0] < 24:
+        return None
     if interpret and env not in ("force", "interpret"):
         return None
-    try:
-        k = 10 * (int(k_idx) + 1)    # traced k_idx -> XLA path
-    except Exception:
+    if not isinstance(k_idx, int):
+        # int() on a DEVICE scalar is a blocking ~20 ms relay fetch
+        # per call (measured r4: auto-mode engine 345 vs 600 reads/s
+        # with the pallas check skipped entirely) — hosts must pass
+        # the python int; anything traced/device-resident runs XLA
         return None
+    k = 10 * (k_idx + 1)
     from .pallas_fused import (PALLAS_BATCHES, blacklist_bucket,
                                probe_bucket)
     if env in ("1", "on", "always") and not interpret:
@@ -612,6 +657,10 @@ def _maybe_pallas_rows(haps, reads, rcs, rlens, ms, k_idx, H: int,
     elif not probe_bucket(H, R, k, scorer, interpret=interpret):
         return None
     try:
+        if rcs is None:
+            # the Mosaic kernels take both strands as inputs;
+            # materialize the device-derived rc rows for them
+            rcs = _derive_rc_batch(reads, rlens)
         return PALLAS_BATCHES[scorer](haps, reads, rcs, rlens, ms,
                                       H=H, R=R, k=k,
                                       interpret=interpret)
@@ -653,7 +702,11 @@ def fused_batch(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
                                     H, R, scorer)
         if packed is not None:
             return None, None, packed
-    return _fused_batch_jit(haps, reads, rcs, rlens, ms, k_idx,
+    # normalize here, not in callers: a python-int k_idx keeps the
+    # pallas/mesh routing above fetch-free, while the jit still sees
+    # the same strong-typed int32 scalar aval (no recompiles)
+    return _fused_batch_jit(haps, reads, rcs, rlens, ms,
+                            jnp.int32(k_idx),
                             H=H, R=R, scorer=scorer,
                             want_hists=want_hists)
 
@@ -680,26 +733,39 @@ def _fused_batch_jit(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
                        constant_values=HAP_PAD)
         reads = jnp.pad(reads, ((0, pad), (0, 0)),
                         constant_values=READ_PAD)
-        rcs = jnp.pad(rcs, ((0, pad), (0, 0)), constant_values=READ_PAD)
+        if rcs is not None:
+            rcs = jnp.pad(rcs, ((0, pad), (0, 0)),
+                          constant_values=READ_PAD)
         rlens = jnp.pad(rlens, (0, pad), constant_values=1)
         ms = jnp.pad(ms, (0, pad))
     n_chunks = reads.shape[0] // width
 
     def one(hap, read, rc, rlen, m):
+        if rc is None:
+            rc = _derive_rc_row(read, rlen)
         h_d, h_a, scalars, mom = _fused_one(hap, read, rc, rlen, m,
                                             k_idx, H, R, scorer)
         if not want_hists:
             return scalars, mom
         return h_d, h_a, scalars, mom
 
-    def chunk(args):
-        return jax.vmap(one)(*args)
-
-    out = lax.map(chunk, (haps.reshape(n_chunks, width, -1),
-                          reads.reshape(n_chunks, width, -1),
-                          rcs.reshape(n_chunks, width, -1),
-                          rlens.reshape(n_chunks, width),
-                          ms.reshape(n_chunks, width)))
+    if rcs is None:
+        def chunk(args):
+            h, r, rl, m = args
+            return jax.vmap(lambda hh, rr, ll, mm:
+                            one(hh, rr, None, ll, mm))(h, r, rl, m)
+        out = lax.map(chunk, (haps.reshape(n_chunks, width, -1),
+                              reads.reshape(n_chunks, width, -1),
+                              rlens.reshape(n_chunks, width),
+                              ms.reshape(n_chunks, width)))
+    else:
+        def chunk(args):
+            return jax.vmap(one)(*args)
+        out = lax.map(chunk, (haps.reshape(n_chunks, width, -1),
+                              reads.reshape(n_chunks, width, -1),
+                              rcs.reshape(n_chunks, width, -1),
+                              rlens.reshape(n_chunks, width),
+                              ms.reshape(n_chunks, width)))
     out = jax.tree_util.tree_map(
         lambda x: x.reshape((n_chunks * width,) + x.shape[2:])[:B], out)
     if not want_hists:
@@ -783,26 +849,30 @@ class FusedBackend:
         return out
 
     def _encode_reads(self, reads: Sequence[Sequence], R: int):
+        """Forward-strand codes only: the reverse complement is
+        derived on DEVICE (engine.fused._derive_rc_row) — the relay
+        moves ~25 MB/s host->device, so not shipping the second
+        strand halves the dominant upload.  The rc slot stays in the
+        tuple as None for the dispatch plumbing."""
         B = len(reads)
         fw = np.full((B, R), READ_PAD, dtype=np.uint8)
-        rc = np.full((B, R), READ_PAD, dtype=np.uint8)
         rlens = np.zeros(B, dtype=np.int32)
         ms = np.zeros(B, dtype=np.int32)
         for b, r in enumerate(reads):
             codes = oracle.encode(r[0])
             fw[b, : len(codes)] = codes
-            rc[b, : len(codes)] = oracle.encode_comp(r[0])[::-1]
             rlens[b] = len(codes)
             ms[b] = int(r[1])
-        return fw, rc, rlens, ms
+        return fw, None, rlens, ms
 
     def _dispatch(self, hap_codes, enc, window, H, R, scorer):
         """Launch the device computation without blocking (async)."""
         fw, rc, rlens, ms = enc
         haps = np.broadcast_to(hap_codes, (fw.shape[0], H))
         return fused_batch(jnp.asarray(haps), jnp.asarray(fw),
-                           jnp.asarray(rc), jnp.asarray(rlens),
-                           jnp.asarray(ms), jnp.int32(window // 10 - 1),
+                           None if rc is None else jnp.asarray(rc),
+                           jnp.asarray(rlens),
+                           jnp.asarray(ms), window // 10 - 1,
                            H=H, R=R, scorer=scorer)
 
     def _submit(self, hap_codes, enc, window, H, R, scorer):
@@ -829,7 +899,7 @@ class FusedBackend:
         try:
             H_r = bucket_for(len(ref_m1b) + 1)
             H_a = bucket_for(len(alt_m1b) + 1)
-            R = bucket_for(max(len(r[0]) for r in reads) + 1)
+            r_groups = self._read_groups(reads)
         except ValueError:
             out = ([oracle.SCORERS["abs_dis_m1b"](
                         ref_seq, alt_seq, r[0], r[1], window)
@@ -838,12 +908,14 @@ class FusedBackend:
                         ref_seq, alt_seq, r[0], r[1], window)
                     for r in reads])
             return lambda: out
-        enc = self._encode_reads(reads, R)
         haps = [self._encode_hap(s, hh) for s, hh in
                 ((ref_m1b, H_r), (alt_m1b, H_a), (ref_seq, H_r),
                  (alt_seq, H_a))]
-        if not (_VOCAB_OK[enc[0]].all() and _VOCAB_OK[enc[1]].all()
-                and all(_VOCAB_OK[h].all() for h in haps)):
+        encs = [(idxs, self._encode_reads([reads[i] for i in idxs], R))
+                for R, idxs in r_groups]
+        if not (all(_VOCAB_OK[h].all() for h in haps)
+                and all(_VOCAB_OK[enc[0]].all()
+                        for _, enc in encs)):
             out = ([oracle.SCORERS["abs_dis_m1b"](
                         ref_seq, alt_seq, r[0], r[1], window)
                     for r in reads],
@@ -853,57 +925,84 @@ class FusedBackend:
             return lambda: out
         # m1b runs on uppercased haps, within-10% on the raw ones
         # (pyx:183-184 vs 278) — same device mode, different codes
-        d_ref_u = self._submit(haps[0], enc, window, H_r, R, "del")
-        d_alt_u = self._submit(haps[1], enc, window, H_a, R, "del")
-        if ref_seq != ref_m1b or alt_seq != alt_m1b:
-            d_ref_r = self._submit(haps[2], enc, window, H_r, R, "del")
-            d_alt_r = self._submit(haps[3], enc, window, H_a, R, "del")
-        else:
-            d_ref_r, d_alt_r = d_ref_u, d_alt_u
+        raw_differs = ref_seq != ref_m1b or alt_seq != alt_m1b
+        pend = []
+        for (R, idxs), (_, enc) in zip(r_groups, encs):
+            d_ref_u = self._submit(haps[0], enc, window, H_r, R, "del")
+            d_alt_u = self._submit(haps[1], enc, window, H_a, R, "del")
+            if raw_differs:
+                d_ref_r = self._submit(haps[2], enc, window, H_r, R,
+                                       "del")
+                d_alt_r = self._submit(haps[3], enc, window, H_a, R,
+                                       "del")
+            else:
+                d_ref_r, d_alt_r = d_ref_u, d_alt_u
+            pend.append((idxs, d_ref_u, d_alt_u, d_ref_r, d_alt_r))
         return functools.partial(
             self._finish_del, ref_seq, alt_seq, ref_m1b, alt_m1b,
-            reads, d_ref_u, d_alt_u, d_ref_r, d_alt_r)
+            len(reads), pend)
 
     def score_del_batch(self, ref_seq: str, alt_seq: str,
                         reads: Sequence[Sequence], window: int):
         return self.score_del_batch_async(ref_seq, alt_seq, reads,
                                           window)()
 
-    def _finish_del(self, ref_seq, alt_seq, ref_m1b, alt_m1b, reads,
-                    d_ref_u, d_alt_u, d_ref_r, d_alt_r):
-        su_ref = FusedStats(*d_ref_u.result())
-        su_alt = FusedStats(*d_alt_u.result())
-        sr_ref = FusedStats(*d_ref_r.result())
-        sr_alt = FusedStats(*d_alt_r.result())
-        m1b, w10 = [], []
-        for b in range(len(reads)):
-            nr, na = int(su_ref.n_dots[b]), int(su_alt.n_dots[b])
-            if not (nr > 2 and na > 2) or not \
-                    float(nr) / min(float(len(ref_m1b)),
-                                    float(len(alt_m1b))) > 0.1:
-                m1b.append([0, 0])
-            else:
-                r_ok = float(su_ref.span(b)) / float(len(ref_m1b)) > 0.6
-                a_ok = float(su_alt.span(b)) / float(len(alt_m1b)) > 0.6
-                if not (r_ok and a_ok):
-                    m1b.append([1.1, 2.1] if r_ok else
-                               ([2.1, 1.1] if a_ok else [0, 0]))
+    def _finish_del(self, ref_seq, alt_seq, ref_m1b, alt_m1b, n_reads,
+                    pend):
+        m1b = [None] * n_reads
+        w10 = [None] * n_reads
+        for idxs, d_ref_u, d_alt_u, d_ref_r, d_alt_r in pend:
+            su_ref = FusedStats(*d_ref_u.result())
+            su_alt = FusedStats(*d_alt_u.result())
+            sr_ref = FusedStats(*d_ref_r.result())
+            sr_alt = FusedStats(*d_alt_r.result())
+            for b, i in enumerate(idxs):
+                nr, na = int(su_ref.n_dots[b]), int(su_alt.n_dots[b])
+                if not (nr > 2 and na > 2) or not \
+                        float(nr) / min(float(len(ref_m1b)),
+                                        float(len(alt_m1b))) > 0.1:
+                    m1b[i] = [0, 0]
                 else:
-                    cr, ca = int(su_ref.cnt[b]), int(su_alt.cnt[b])
-                    if cr > 0 and ca > 0:
-                        m1b.append([float(su_ref.sum_absd[b]) / cr,
-                                    float(su_alt.sum_absd[b]) / ca])
+                    r_ok = float(su_ref.span(b)) / \
+                        float(len(ref_m1b)) > 0.6
+                    a_ok = float(su_alt.span(b)) / \
+                        float(len(alt_m1b)) > 0.6
+                    if not (r_ok and a_ok):
+                        m1b[i] = [1.1, 2.1] if r_ok else \
+                            ([2.1, 1.1] if a_ok else [0, 0])
                     else:
-                        m1b.append([0, 0])
-            nr2, na2 = int(sr_ref.n_dots[b]), int(sr_alt.n_dots[b])
-            if not max(float(nr2) / float(len(ref_seq)),
-                       float(na2) / float(len(alt_seq))) > 0.1:
-                w10.append([0, 0])
-            elif int(sr_ref.cnt2[b]) > 0 and int(sr_alt.cnt2[b]) > 0:
-                w10.append([int(sr_alt.w10_2[b]), int(sr_ref.w10_2[b])])
-            else:
-                w10.append([0, 0])
+                        cr = int(su_ref.cnt[b])
+                        ca = int(su_alt.cnt[b])
+                        if cr > 0 and ca > 0:
+                            m1b[i] = [float(su_ref.sum_absd[b]) / cr,
+                                      float(su_alt.sum_absd[b]) / ca]
+                        else:
+                            m1b[i] = [0, 0]
+                nr2, na2 = int(sr_ref.n_dots[b]), int(sr_alt.n_dots[b])
+                if not max(float(nr2) / float(len(ref_seq)),
+                           float(na2) / float(len(alt_seq))) > 0.1:
+                    w10[i] = [0, 0]
+                elif int(sr_ref.cnt2[b]) > 0 and \
+                        int(sr_alt.cnt2[b]) > 0:
+                    w10[i] = [int(sr_alt.w10_2[b]),
+                              int(sr_ref.w10_2[b])]
+                else:
+                    w10[i] = [0, 0]
         return m1b, w10
+
+    @staticmethod
+    def _read_groups(reads):
+        """Original-index groups by per-read R bucket.  Reads pad only
+        to their OWN length bucket, not the event maximum: a
+        DEL-supporting read is genuinely shorter than a ref-spanning
+        one (by the SV span), so one long read must not force every
+        row to the big bucket — per-row cell count is the engine's
+        cost.  Padding never changes any score, so the split is
+        parity-exact (tests/test_batching.py)."""
+        groups = {}
+        for i, r in enumerate(reads):
+            groups.setdefault(bucket_for(len(r[0]) + 1), []).append(i)
+        return sorted(groups.items())
 
     def score_batch_async(self, scorer: str, ref_seq: str,
                           alt_seq: str, reads: Sequence[Sequence],
@@ -928,27 +1027,31 @@ class FusedBackend:
             # pads only to its own size (a TANDUP alt is ~2x its ref)
             H_r = bucket_for(len(ref_s) + 1)
             H_a = bucket_for(len(alt_s) + 1)
-            R = bucket_for(max(len(r[0]) for r in reads) + 1)
+            r_groups = self._read_groups(reads)
         except ValueError:
             out = [oracle.SCORERS[scorer](ref_seq, alt_seq, r[0], r[1],
                                           window) for r in reads]
             return lambda: out
         mode = {"abs_dis_m1b": "m1b", "within_10perc_m1b": "w10",
                 "redefine_diagonal": "rdd"}[scorer]
-        enc = self._encode_reads(reads, R)
         hr = self._encode_hap(ref_s, H_r)
         ha = self._encode_hap(alt_s, H_a)
-        if not (_VOCAB_OK[enc[0]].all() and _VOCAB_OK[enc[1]].all()
-                and _VOCAB_OK[hr].all() and _VOCAB_OK[ha].all()):
+        encs = [(idxs, self._encode_reads([reads[i] for i in idxs], R))
+                for R, idxs in r_groups]
+        if not (_VOCAB_OK[hr].all() and _VOCAB_OK[ha].all()
+                and all(_VOCAB_OK[enc[0]].all()
+                        for _, enc in encs)):
             out = [oracle.SCORERS[scorer](ref_seq, alt_seq, r[0], r[1],
                                           window) for r in reads]
             return lambda: out
-        # dispatch both haplotypes before materializing either (the
-        # device overlaps them; np.asarray in FusedStats blocks)
-        d_ref = self._submit(hr, enc, window, H_r, R, mode)
-        d_alt = self._submit(ha, enc, window, H_a, R, mode)
+        # dispatch every group's two haplotypes before materializing
+        # any (the device overlaps them; np.asarray blocks)
+        pend = [(idxs,
+                 self._submit(hr, enc, window, H_r, R, mode),
+                 self._submit(ha, enc, window, H_a, R, mode))
+                for (R, idxs), (_, enc) in zip(r_groups, encs)]
         return functools.partial(self._finish_score, mode, ref_s,
-                                 alt_s, reads, d_ref, d_alt)
+                                 alt_s, len(reads), pend)
 
     def score_batch(self, scorer: str, ref_seq: str, alt_seq: str,
                     reads: Sequence[Sequence], window: int
@@ -956,63 +1059,58 @@ class FusedBackend:
         return self.score_batch_async(scorer, ref_seq, alt_seq, reads,
                                       window)()
 
-    def _finish_score(self, mode, ref_s, alt_s, reads, d_ref, d_alt
+    def _finish_score(self, mode, ref_s, alt_s, n_reads, pend
                       ) -> List[List[float]]:
-        s_ref = FusedStats(*d_ref.result())
-        s_alt = FusedStats(*d_alt.result())
-        out: List[List[float]] = []
-        for b in range(len(reads)):
-            nr, na = int(s_ref.n_dots[b]), int(s_alt.n_dots[b])
-            if mode == "m1b":
-                if not (nr > 2 and na > 2):
-                    out.append([0, 0])
-                    continue
-                if not float(nr) / min(float(len(ref_s)),
-                                       float(len(alt_s))) > 0.1:
-                    out.append([0, 0])
-                    continue
-                r_ok = float(s_ref.span(b)) / float(len(ref_s)) > 0.6
-                a_ok = float(s_alt.span(b)) / float(len(alt_s)) > 0.6
-                if not (r_ok and a_ok):
-                    out.append([1.1, 2.1] if r_ok else
-                               ([2.1, 1.1] if a_ok else [0, 0]))
-                    continue
-                cr, ca = int(s_ref.cnt[b]), int(s_alt.cnt[b])
-                if cr > 0 and ca > 0:
-                    out.append([float(s_ref.sum_absd[b]) / cr,
-                                float(s_alt.sum_absd[b]) / ca])
-                else:
-                    out.append([0, 0])
-            elif mode == "w10":
-                if not max(float(nr) / float(len(ref_s)),
-                           float(na) / float(len(alt_s))) > 0.1:
-                    out.append([0, 0])
-                    continue
-                if int(s_ref.cnt[b]) > 0 and int(s_alt.cnt[b]) > 0:
-                    out.append([int(s_alt.w10[b]), int(s_ref.w10[b])])
-                else:
-                    out.append([0, 0])
-            else:  # rdd
-                if not (float(nr) / float(len(ref_s)) > 0.1 and
-                        float(na) / float(len(alt_s)) > 0.1):
-                    out.append([0, 0])
-                    continue
-                if not (float(s_ref.span(b)) / float(len(ref_s)) > 0.7
-                        and float(s_alt.span(b)) / float(len(alt_s))
-                        > 0.7):
-                    out.append([0, 0])
-                    continue
-                if int(s_ref.cnt[b]) == 0 or int(s_alt.cnt[b]) == 0:
-                    out.append([0, 0])
-                    continue
-                pair = []
-                for s in (s_ref, s_alt):
-                    n_sel = int(s.sel_cnt[b])
-                    if n_sel == 0:
-                        pair.append(0.0001)
-                    else:
-                        total = float(int(s.sel_pos[b]) -
-                                      int(s.sel_neg[b]))
-                        pair.append(abs((total / 2.0) / n_sel))
-                out.append(pair)
+        out: List[List[float]] = [None] * n_reads
+        for idxs, d_ref, d_alt in pend:
+            s_ref = FusedStats(*d_ref.result())
+            s_alt = FusedStats(*d_alt.result())
+            for b, i in enumerate(idxs):
+                out[i] = self._score_pair(mode, ref_s, alt_s, s_ref,
+                                          s_alt, b)
         return out
+
+    @staticmethod
+    def _score_pair(mode, ref_s, alt_s, s_ref, s_alt, b):
+        nr, na = int(s_ref.n_dots[b]), int(s_alt.n_dots[b])
+        if mode == "m1b":
+            if not (nr > 2 and na > 2):
+                return [0, 0]
+            if not float(nr) / min(float(len(ref_s)),
+                                   float(len(alt_s))) > 0.1:
+                return [0, 0]
+            r_ok = float(s_ref.span(b)) / float(len(ref_s)) > 0.6
+            a_ok = float(s_alt.span(b)) / float(len(alt_s)) > 0.6
+            if not (r_ok and a_ok):
+                return [1.1, 2.1] if r_ok else \
+                    ([2.1, 1.1] if a_ok else [0, 0])
+            cr, ca = int(s_ref.cnt[b]), int(s_alt.cnt[b])
+            if cr > 0 and ca > 0:
+                return [float(s_ref.sum_absd[b]) / cr,
+                        float(s_alt.sum_absd[b]) / ca]
+            return [0, 0]
+        if mode == "w10":
+            if not max(float(nr) / float(len(ref_s)),
+                       float(na) / float(len(alt_s))) > 0.1:
+                return [0, 0]
+            if int(s_ref.cnt[b]) > 0 and int(s_alt.cnt[b]) > 0:
+                return [int(s_alt.w10[b]), int(s_ref.w10[b])]
+            return [0, 0]
+        # rdd
+        if not (float(nr) / float(len(ref_s)) > 0.1 and
+                float(na) / float(len(alt_s)) > 0.1):
+            return [0, 0]
+        if not (float(s_ref.span(b)) / float(len(ref_s)) > 0.7
+                and float(s_alt.span(b)) / float(len(alt_s)) > 0.7):
+            return [0, 0]
+        if int(s_ref.cnt[b]) == 0 or int(s_alt.cnt[b]) == 0:
+            return [0, 0]
+        pair = []
+        for s in (s_ref, s_alt):
+            n_sel = int(s.sel_cnt[b])
+            if n_sel == 0:
+                pair.append(0.0001)
+            else:
+                total = float(int(s.sel_pos[b]) - int(s.sel_neg[b]))
+                pair.append(abs((total / 2.0) / n_sel))
+        return pair

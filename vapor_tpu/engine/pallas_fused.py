@@ -1178,14 +1178,16 @@ def choose_engine(H: int, R: int, k: int, scorer: str) -> str:
     """'pallas' or 'xla' for this bucket, with NO inline timing probe:
     consult (in order) the in-process memo, the on-disk autotune cache
     (written by scripts/warmup_autotune.py or a previous blacklist),
-    and the committed per-device-kind table.  An unknown bucket
-    defaults to 'xla': the round-3 A/B on the production bench
-    worklist measured XLA 590 vs pallas 522 reads/s (PERF_NOTES.md) —
-    the pallas wins from the B=16 micro-bench do not transfer to
-    LADDER batch sizes, so pallas must earn its routing bucket by
-    bucket via the warmup table.  Set VAPOR_TPU_AUTOTUNE=inline to
-    restore the round-2 behavior of timing both engines on first
-    encounter (costly mid-run)."""
+    and a committed per-device-kind table if one ships.  An unknown
+    bucket defaults to 'xla'.  NO table ships for TPU v5e as of r4:
+    the interleaved worklist-level A/B (scripts/ab_engines.py ->
+    AB_r4.json) measured all-XLA faster than the r3 per-bucket
+    pallas table on every latency-matched pass (~600 vs ~385 reads/s)
+    — B=24/96 per-bucket micro-probes do not transfer to production
+    call mixes, so any future table must be validated by ab_engines
+    before committing.  Set VAPOR_TPU_AUTOTUNE=inline to restore the
+    round-2 behavior of timing both engines on first encounter
+    (costly mid-run)."""
     key = (H, R, k, scorer)
     if key in _CHOICE:
         return _CHOICE[key]

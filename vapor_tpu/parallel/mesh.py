@@ -139,6 +139,11 @@ def maybe_mesh_rows(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
     dp = min(n, -(-B // width))
     if dp <= 1:
         return None
+    if rcs is None:
+        # hosts ship the forward strand only (engine.fused); the mesh
+        # step shards both strands, so materialize the derived rc rows
+        from ..engine.fused import _derive_rc_batch
+        rcs = _derive_rc_batch(reads, rlens)
     mesh = _mesh_for(dp)
     padded = -(-B // (dp * width)) * (dp * width)
     pad = padded - B
