@@ -211,6 +211,66 @@ def parse_annotated(vcf_vapor):
     return out
 
 
+def parse_reference_tsv(vapor_tsv, vcf_path):
+    """{svid: {'gs', 'gt', 'qs'}} from the reference's VCF-mode .vapor
+    TSV.  The reference's final annotation step (vcf_vapor_modify,
+    pyx:1972) crashes on this corpus with a KeyError — its row-to-
+    record accounting breaks on the complex-class keys — but the TSV
+    itself is complete, so rows are mapped back to input records here:
+    each TSV key's start coordinate is matched to the nearest
+    breakpoint anchor (POS or any INFO integer) of a record on the
+    same contig.  Calls are placed >= 8 kb apart (and their insert
+    points are reserved by the placer), so the nearest anchor is
+    unambiguous; a row further than 1 kb from every anchor is dropped.
+    """
+    import re
+    anchors = {}          # chrom -> [(coord, svid)]
+    for line in open(vcf_path):
+        if line.startswith("#"):
+            continue
+        c = line.rstrip("\n").split("\t")
+        pts = {int(c[1])}
+        pts.update(int(x) for x in re.findall(r"\d{3,}", c[7]))
+        for p in pts:
+            anchors.setdefault(c[0], []).append((p, c[2]))
+    out = {}
+    for line in open(vapor_tsv):
+        if line.startswith("#") or not line.strip():
+            continue
+        cols = line.rstrip("\n").split("\t")
+        # key formats vary by class: 'chr:start:end:TYPE',
+        # 'chr:start:end:ins_chr:ins_point', or
+        # 'ref_hap:alt_hap:chr:bp1:..:CANNOT_CLASSIFY' — locate the
+        # first contig name and take the numeric field after it
+        key = cols[0].split(":")
+        ci = next((i for i, p in enumerate(key) if p in anchors), None)
+        if ci is None or ci + 1 >= len(key) or \
+                not key[ci + 1].isdigit():
+            continue
+        chrom, start = key[ci], int(key[ci + 1])
+        cands = anchors.get(chrom)
+        dist, (_, svid) = min((abs(p - start), (p, sid))
+                              for p, sid in cands)
+        if dist > 1000:
+            continue
+        try:
+            gs = float(cols[2])
+        except ValueError:
+            gs = None
+        rec = cols[5] if len(cols) > 5 else "NA"
+        qs = None
+        if rec not in ("NA", ""):
+            vals = [float(x) for x in rec.split(",") if x]
+            pos = [v for v in vals if v > 0]
+            qs = sum(pos) / len(pos) if pos else None
+        prev = out.get(svid)
+        # expanded multi-row classes: keep the best-supported row
+        if prev is None or (gs is not None and
+                            (prev["gs"] is None or gs > prev["gs"])):
+            out[svid] = {"gs": gs, "gt": cols[3], "qs": qs}
+    return out
+
+
 def evaluate(results, truth):
     per_class = {}
     for svid, klass in truth.items():
@@ -265,7 +325,7 @@ def main():
                     help="also run the reference CLI (samtools shim) "
                          "on the same corpus")
     ap.add_argument("--out", default=os.path.join(REPO,
-                                                  "ACCURACY_r4.json"))
+                                                  "ACCURACY_r5.json"))
     args = ap.parse_args()
 
     import shutil
@@ -304,17 +364,34 @@ def main():
                 print("reference checkout not mounted — skipping "
                       "head-to-head leg", flush=True)
             else:
+                import subprocess
                 hroot = refcli.build_harness(os.path.join(d, "refcli"))
                 ref_vcf = os.path.join(d, f"calls_{zyg}_ref.vcf")
                 shutil.copy(vcf, ref_vcf)
                 print(f"running the reference CLI on the {zyg} corpus "
                       "(this is the slow leg) ...", flush=True)
                 t0 = time.perf_counter()
-                refcli.run_reference(hroot, "vcf", ref_vcf, fa, bam,
-                                     os.path.join(d, "unused.vapor"))
+                annotation_crash = False
+                try:
+                    refcli.run_reference(hroot, "vcf", ref_vcf, fa,
+                                         bam,
+                                         os.path.join(d,
+                                                      "unused.vapor"))
+                except subprocess.CalledProcessError:
+                    # the reference's final VCF-annotation step
+                    # (vcf_vapor_modify) KeyErrors on this corpus —
+                    # its row accounting breaks on complex-class keys
+                    # — but scoring is complete and the .vapor TSV is
+                    # fully written before the crash
+                    if not os.path.exists(ref_vcf + ".vapor"):
+                        raise
+                    annotation_crash = True
                 ref_wall = time.perf_counter() - t0
-                ref_results = parse_annotated(ref_vcf + ".vapor")
+                ref_results = parse_reference_tsv(ref_vcf + ".vapor",
+                                                  ref_vcf)
                 ref_eval = evaluate(ref_results, truth)
+                report["zygosity"][zyg]["reference_annotation_crash"] \
+                    = annotation_crash
                 report["zygosity"][zyg]["reference_per_class"] = ref_eval
                 report["zygosity"][zyg]["reference_wall_s"] = \
                     round(ref_wall, 1)

@@ -40,7 +40,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from .fused import FusedBackend, fused_batch
+from .fused import (FusedBackend, _expand_rows, fused_batch,
+                    pack_nibbles, uniq_cap)
 from .kernel import HAP_PAD, READ_PAD
 
 # flush tuning: wait LINGER for the next request after each arrival,
@@ -129,16 +130,17 @@ class BatchingBackend(FusedBackend):
         self._q.put(r)
         return r.fut
 
-    def submit_selfstats(self, hap, rc, length, window, H):
+    def submit_selfstats(self, hap, length, window, H):
         """Window-refiner self-comparison request: coalesces with other
         events' refiner steps in the same (H, window) bucket — the
         refiner round-trips were the dominant e2e host cost once score
-        batches coalesced (~17 ms relay fetch per tiny call)."""
+        batches coalesced (~17 ms relay fetch per tiny call).  Only the
+        forward hap row is taken; the dispatcher nibble-packs it and
+        the device derives the reverse complement."""
         self._ensure_thread()
         r = _Req()
         r.hap = hap.reshape(1, -1)
-        r.fw = rc.reshape(1, -1)
-        r.rc = r.ms = None
+        r.fw = r.rc = r.ms = None
         r.rlens = np.asarray([length], np.int32)
         r.B = 1
         r.key = (H, H, "selfstats", window // 10 - 1)
@@ -276,42 +278,100 @@ class BatchingBackend(FusedBackend):
     def _launch(self, key, sub):
         H, R, scorer, kidx = key
         if scorer == "selfstats":
-            from .window_device import _self_stats_rows
+            from .window_device import (_RC_PAD, _self_stats_rows,
+                                        _self_stats_rows_packed)
+            from .fused import _VOCAB_OK
+            from . import oracle
             P = _pad_rows(sum(r.B for r in sub))
             haps = np.full((P, H), HAP_PAD, np.uint8)
-            rcs = np.full((P, H), 251, np.uint8)
             lengths = np.zeros(P, np.int32)
             o = 0
             for r in sub:
                 haps[o:o + r.B] = r.hap
-                rcs[o:o + r.B] = r.fw
                 lengths[o:o + r.B] = r.rlens
                 o += r.B
+            if _VOCAB_OK[haps].all() and \
+                    os.environ.get("VAPOR_TPU_PACK", "1") != "0":
+                return (None, None, _self_stats_rows_packed(
+                    jnp.asarray(pack_nibbles(haps)),
+                    jnp.asarray(lengths), jnp.int32(kidx), H=H))
+            # out-of-alphabet bytes (encode is identity on unknowns):
+            # ship both strands unpacked, rc built host-side
+            rcs = np.full((P, H), _RC_PAD, np.uint8)
+            for b in range(P):
+                ln = lengths[b]
+                rcs[b, :ln] = oracle._COMP_LUT[haps[b, :ln]][::-1]
             return (None, None, _self_stats_rows(
                 jnp.asarray(haps), jnp.asarray(rcs),
                 jnp.asarray(lengths), jnp.int32(kidx), H=H))
         rows = sum(r.B for r in sub)
         P = _pad_rows(rows)
-        haps = np.full((P, H), HAP_PAD, np.uint8)
         fw = np.full((P, R), READ_PAD, np.uint8)
-        # rc rows are device-derived from fw (engine.fused) — only
-        # pack/upload them when a request actually carries them
-        has_rc = any(r.rc is not None for r in sub)
-        rc = np.full((P, R), READ_PAD, np.uint8) if has_rc else None
         rlens = np.ones(P, np.int32)
         ms = np.zeros(P, np.int32)
+        has_rc = any(r.rc is not None for r in sub)
+        # production path: unique hap rows + per-row index, nibble-
+        # packed payload, expanded on device (engine.fused._expand_rows)
+        # (VAPOR_TPU_PACK=0 forces the broadcast upload — A/B runs)
+        pack_off = os.environ.get("VAPOR_TPU_PACK", "1") == "0"
+        cap = uniq_cap(P)
+        uniq, slot_of, idx = [], {}, np.zeros(P, np.int32)
+        o = 0
+        for r in sub:
+            if pack_off or has_rc or r.hap.ndim != 1 or \
+                    len(uniq) >= cap - 1 and \
+                    r.hap.tobytes() not in slot_of:
+                uniq = None
+                break
+            kb = r.hap.tobytes()
+            s = slot_of.get(kb)
+            if s is None:
+                s = len(uniq)
+                slot_of[kb] = s
+                uniq.append(r.hap)
+            idx[o:o + r.B] = s
+            fw[o:o + r.B] = r.fw
+            rlens[o:o + r.B] = r.rlens
+            ms[o:o + r.B] = r.ms
+            o += r.B
+        if uniq is not None:
+            idx[o:] = len(uniq)          # pad rows -> all-HAP_PAD slot
+            pu = np.full((cap, H), HAP_PAD, np.uint8)
+            for s, row in enumerate(uniq):
+                pu[s] = row
+            haps_d, fw_d = _expand_rows(jnp.asarray(pack_nibbles(pu)),
+                                        jnp.asarray(idx),
+                                        jnp.asarray(pack_nibbles(fw)))
+            # kidx stays a python int: the engine-routing check in
+            # fused_batch must never see a device scalar (int() on one
+            # is a blocking relay fetch per call)
+            return fused_batch(haps_d, fw_d, None, jnp.asarray(rlens),
+                               jnp.asarray(ms), kidx,
+                               H=H, R=R, scorer=scorer)
+        # fallback: rc-carrying or >cap distinct haps — broadcast upload
+        haps = np.full((P, H), HAP_PAD, np.uint8)
+        rc = np.full((P, R), READ_PAD, np.uint8) if has_rc else None
         o = 0
         for r in sub:
             haps[o:o + r.B] = r.hap
             fw[o:o + r.B] = r.fw
             if has_rc:
-                rc[o:o + r.B] = r.rc
+                if r.rc is not None:
+                    rc[o:o + r.B] = r.rc
+                else:
+                    # a group mixing rc-carrying and rc=None requests
+                    # must not leave the rc=None rows as READ_PAD fill
+                    # (that would zero their reverse-strand hits):
+                    # derive the missing rows host-side, byte-identical
+                    # to the device derivation (_derive_rc_row)
+                    from . import oracle
+                    for b in range(r.B):
+                        ln = r.rlens[b]
+                        rc[o + b, :ln] = \
+                            oracle._COMP_LUT[r.fw[b, :ln]][::-1]
             rlens[o:o + r.B] = r.rlens
             ms[o:o + r.B] = r.ms
             o += r.B
-        # kidx stays a python int: the engine-routing check in
-        # fused_batch must never see a device scalar (int() on one is
-        # a blocking relay fetch per call)
         return fused_batch(jnp.asarray(haps), jnp.asarray(fw),
                            None if rc is None else jnp.asarray(rc),
                            jnp.asarray(rlens),
@@ -344,11 +404,12 @@ class BatchingBackend(FusedBackend):
                 r.key = key
                 if scorer == "selfstats":
                     r.hap = np.full((P, H), HAP_PAD, np.uint8)
-                    r.fw = np.full((P, H), 251, np.uint8)
-                    r.rc = r.ms = None
+                    r.fw = r.rc = r.ms = None
                     r.rlens = np.zeros(P, np.int32)
                 else:
-                    r.hap = np.full((P, H), HAP_PAD, np.uint8)
+                    # 1-D hap row: warms the production packed path
+                    # (dedupe + nibble pack + device expand)
+                    r.hap = np.full(H, HAP_PAD, np.uint8)
                     r.fw = np.full((P, R), READ_PAD, np.uint8)
                     r.rc = None     # production ships fw only
                     r.rlens = np.ones(P, np.int32)

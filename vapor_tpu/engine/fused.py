@@ -216,6 +216,69 @@ _HITS_IMPLS = {"packed": _hits_packed, "mxu": _hits_mxu,
 HITS_IMPL = "packed"
 
 
+# ---------------------------------------------------------------------------
+# relay-payload compression (host -> device)
+# ---------------------------------------------------------------------------
+# The axon relay uploads at ~25 MB/s, so host->device payload bytes are
+# first-order in the engine pass time (PERF_NOTES r4 finding 4).  Two
+# measured levers, both applied at the dispatch boundary so every
+# engine route (XLA / mesh / pallas) is untouched:
+#
+# * haplotype rows are shipped as UNIQUE rows + a per-row int32 index
+#   and gathered on device (a flush used to upload B broadcast copies
+#   of each event's haplotype — ~40 ms of a 370 ms pass);
+# * sequence codes are nibble-packed 2/byte: the engine alphabet is
+#   exactly the 16 bytes of _NIB_BYTES (backends vocab-check against
+#   _VOCAB_OK = the same set before dispatching), so the host packs
+#   with _NIB_LUT and the device unpacks through the inverse LUT —
+#   byte-exact roundtrip, half the fw/hap payload (~25 ms).
+#
+# Packing is by HALVES, not interleave: byte j of the packed row holds
+# code j (low nibble) and code j + L/2 (high nibble), so the device
+# unpack is a concat of two full-width slices — no minor-dim
+# interleave relayout (reshape-based shuffles lower poorly via axon).
+
+_NIB_INV = np.frombuffer(_NIB_BYTES, dtype=np.uint8)
+_NIB_LUT_U8 = _NIB_LUT.astype(np.uint8)
+
+
+def pack_nibbles(rows: np.ndarray) -> np.ndarray:
+    """(B, L) uint8 engine codes -> (B, L//2) halves-packed nibbles.
+
+    Callers must guarantee every byte is in the 16-byte engine
+    alphabet (_VOCAB_OK); anything else would silently decode to the
+    0xFE sentinel."""
+    nib = _NIB_LUT_U8[rows]
+    L2 = rows.shape[1] // 2
+    return nib[:, :L2] | (nib[:, L2:] << np.uint8(4))
+
+
+def _unpack_nibbles(packed: jnp.ndarray) -> jnp.ndarray:
+    """Device inverse of pack_nibbles: (B, L//2) -> (B, L) codes."""
+    lo = packed & np.uint8(0xF)
+    hi = packed >> np.uint8(4)
+    return jnp.asarray(_NIB_INV)[jnp.concatenate([lo, hi], axis=1)]
+
+
+def uniq_cap(P: int) -> int:
+    """Unique-hap slots per flush of P rows (one reserved for the
+    all-HAP_PAD pad row).  A pure function of P so the _expand_rows
+    compile key stays (H, R, P) — the same granularity warm_ladder
+    already covers.  Flushes with more distinct haplotypes than this
+    (only possible when most requests carry 1-2 reads) fall back to
+    the plain broadcast upload."""
+    return min(P, 32) + 1
+
+
+@jax.jit
+def _expand_rows(uniq_packed, idx, fw_packed):
+    """Unpack one flush's compressed payload on device:
+    (U, H/2) unique hap nibbles + (P,) row->hap index + (P, R/2) fw
+    nibbles -> ((P, H) hap codes, (P, R) read codes)."""
+    haps = jnp.take(_unpack_nibbles(uniq_packed), idx, axis=0)
+    return haps, _unpack_nibbles(fw_packed)
+
+
 @jax.jit
 def _derive_rc_batch(reads, rlens):
     return jax.vmap(_derive_rc_row)(reads, rlens)
@@ -866,12 +929,23 @@ class FusedBackend:
         return fw, None, rlens, ms
 
     def _dispatch(self, hap_codes, enc, window, H, R, scorer):
-        """Launch the device computation without blocking (async)."""
+        """Launch the device computation without blocking (async).
+        Production (rc=None) ships the hap row once + nibble-packed
+        reads and expands on device; only legacy rc-carrying callers
+        pay the broadcast upload."""
         fw, rc, rlens, ms = enc
+        if rc is None:
+            uniq = hap_codes.reshape(1, H)
+            idx = np.zeros(fw.shape[0], np.int32)
+            haps_d, fw_d = _expand_rows(jnp.asarray(pack_nibbles(uniq)),
+                                        jnp.asarray(idx),
+                                        jnp.asarray(pack_nibbles(fw)))
+            return fused_batch(haps_d, fw_d, None,
+                               jnp.asarray(rlens), jnp.asarray(ms),
+                               window // 10 - 1, H=H, R=R, scorer=scorer)
         haps = np.broadcast_to(hap_codes, (fw.shape[0], H))
         return fused_batch(jnp.asarray(haps), jnp.asarray(fw),
-                           None if rc is None else jnp.asarray(rc),
-                           jnp.asarray(rlens),
+                           jnp.asarray(rc), jnp.asarray(rlens),
                            jnp.asarray(ms), window // 10 - 1,
                            H=H, R=R, scorer=scorer)
 

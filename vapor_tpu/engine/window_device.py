@@ -25,10 +25,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import oracle
-from .fused import _hits_normal, _flip_to_dot_space, skew_reduce, \
-    hist_width
+from .fused import (_hits_normal, _flip_to_dot_space, _unpack_nibbles,
+                    hist_width, pack_nibbles, skew_reduce)
 from .kernel import HAP_PAD, bucket_for
 from .window import qual_check_repetitive_region, self_dot_arrays
+
+_RC_PAD = 251           # distinct from HAP_PAD so pads never self-match
 
 
 def _self_stats_one(hap, rc, length, k_idx, H: int):
@@ -58,8 +60,7 @@ def _self_stats_one(hap, rc, length, k_idx, H: int):
 _self_stats = jax.jit(_self_stats_one, static_argnames=("H",))
 
 
-@functools.partial(jax.jit, static_argnames=("H",))
-def _self_stats_rows(haps, rcs, lengths, k_idx, H: int):
+def _self_stats_rows_body(haps, rcs, lengths, k_idx, H: int):
     """Batched self-stats: one device call for many sequences of the
     same H bucket (the batching layer coalesces refiner requests from
     pipelined events the same way score batches coalesce).  Chunked
@@ -71,7 +72,7 @@ def _self_stats_rows(haps, rcs, lengths, k_idx, H: int):
     if pad:
         haps = jnp.pad(haps, ((0, pad), (0, 0)),
                        constant_values=HAP_PAD)
-        rcs = jnp.pad(rcs, ((0, pad), (0, 0)), constant_values=251)
+        rcs = jnp.pad(rcs, ((0, pad), (0, 0)), constant_values=_RC_PAD)
         lengths = jnp.pad(lengths, (0, pad))
     n_chunks = haps.shape[0] // width
 
@@ -85,6 +86,33 @@ def _self_stats_rows(haps, rcs, lengths, k_idx, H: int):
                           rcs.reshape(n_chunks, width, -1),
                           lengths.reshape(n_chunks, width)))
     return out.reshape(n_chunks * width, 3)[:B]
+
+
+_self_stats_rows = functools.partial(jax.jit, static_argnames=("H",))(
+    _self_stats_rows_body)
+
+
+def _derive_selfrc_row(hap: jnp.ndarray, length: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Device equivalent of the host's selfstats rc row: _RC_PAD fill,
+    rc[:length] = complement(hap[:length]) reversed — byte-identical
+    (HAP_PAD tail maps through the complement LUT to the 0xFE sentinel
+    and is sliced away)."""
+    H = hap.shape[0]
+    comp = jnp.asarray(oracle._COMP_LUT)[hap]
+    ext = jnp.concatenate([jnp.flip(comp),
+                           jnp.full((H,), _RC_PAD, jnp.uint8)])
+    return lax.dynamic_slice(ext, (H - length,), (H,))
+
+
+@functools.partial(jax.jit, static_argnames=("H",))
+def _self_stats_rows_packed(hap_packed, lengths, k_idx, H: int):
+    """Production selfstats entry: takes nibble-packed hap rows only —
+    the rc rows derive on device (4x less relay upload than shipping
+    both strands unpacked).  Same per-row math as _self_stats_rows."""
+    haps = _unpack_nibbles(hap_packed)
+    rcs = jax.vmap(_derive_selfrc_row)(haps, lengths)
+    return _self_stats_rows_body(haps, rcs, lengths, k_idx, H)
 
 
 class DeviceWindowRefiner:
@@ -109,11 +137,14 @@ class DeviceWindowRefiner:
         codes = oracle.encode(seq)
         hap = np.full(H, HAP_PAD, dtype=np.uint8)
         hap[: len(codes)] = codes
-        rc = np.full(H, 251, dtype=np.uint8)   # distinct pad
-        rc[: len(codes)] = oracle.encode_comp(seq)[::-1]
         if self._submit is not None:
-            fut = self._submit(hap, rc, len(codes), window, H)
+            # the batching dispatcher nibble-packs the hap row and the
+            # device derives the rc strand (_derive_selfrc_row) — no
+            # host rc build, quarter the relay upload
+            fut = self._submit(hap, len(codes), window, H)
             return lambda: tuple(int(v) for v in fut.result())
+        rc = np.full(H, _RC_PAD, dtype=np.uint8)
+        rc[: len(codes)] = oracle.encode_comp(seq)[::-1]
         out = _self_stats(
             jnp.asarray(hap), jnp.asarray(rc), jnp.int32(len(codes)),
             jnp.int32(window // 10 - 1), H=H)
