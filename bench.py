@@ -78,6 +78,118 @@ def make_worklist(seed=1234):
     return events
 
 
+def make_mode_worklists(seed=4321):
+    """Per-mode worklists covering the reference's real dispatch mix
+    beyond the DEL/INV/DUP m1b headline (VERDICT r4 #3): INS with the
+    X-placeholder ALT (pyx:1856-1893), rdd-scored DUP families
+    (pyx:1763), >10 kb junction events (pyx:1729-1744), the k=20/40
+    window ladder (pyx:2030-2046), and the DEL validator's combined
+    min-of-two-scorers call (pyx:1715-1726).
+
+    Returns {mode: (scorer, window, events)} where scorer 'del' means
+    the combined DEL entry (score_del_batch_async)."""
+    from vapor_tpu.io.fasta import reverse_complement
+    rng = random.Random(seed)
+    base = make_worklist()
+
+    def noisy(donor):
+        seq = []
+        for ch in donor:
+            x = rng.random()
+            if x < ERR / 3:
+                seq.append(rng.choice("ACGT"))
+            elif x < 2 * ERR / 3:
+                seq.append(rng.choice("ACGT"))
+                seq.append(ch)
+            elif x < ERR:
+                continue
+            else:
+                seq.append(ch)
+        return "".join(seq)
+
+    modes = {}
+    # INS: ref = flanks only, ALT carries the X placeholder; donor
+    # reads carry the real (unknown-to-caller) inserted sequence
+    ins_events = []
+    for i in range(N_EVENTS):
+        ins_len = rng.choice([300, 500, 700])
+        flank = min(ins_len, 500)
+        left = "".join(rng.choice("ACGT") for _ in range(flank))
+        right = "".join(rng.choice("ACGT") for _ in range(flank))
+        ins_seq = "".join(rng.choice("ACGT") for _ in range(ins_len))
+        ref_hap = left + right
+        alt_hap = left + "X" * ins_len + right
+        reads = [[noisy((left + ins_seq + right) if r % 2 == 0
+                        else ref_hap), 0, f"i{i}r{r}"]
+                 for r in range(READS_PER_EVENT)]
+        ins_events.append((ref_hap, alt_hap, reads))
+    modes["ins_x_m1b"] = ("abs_dis_m1b", WINDOW, ins_events)
+    # rdd-scored DUPs: the TANDUP/DISDUP/DUP_INV whole-event scorer
+    dup_events = [e for e, i in zip(base, range(N_EVENTS)) if i % 3 == 2]
+    modes["dup_rdd"] = ("redefine_diagonal", WINDOW, dup_events)
+    # junction mode: events > 10 kb score fixed-shape 2x500 junctions
+    jn_events = []
+    for i in range(N_EVENTS):
+        flank = 500
+        left = "".join(rng.choice("ACGT") for _ in range(2000))
+        body = "".join(rng.choice("ACGT") for _ in range(12000))
+        right = "".join(rng.choice("ACGT") for _ in range(2000))
+        lbp, rbp = len(left), len(left) + len(body)
+        genome = left + body + right
+        ref_seq = genome[lbp - flank: lbp + flank]
+        alt_seq = genome[lbp - flank: lbp] + genome[rbp: rbp + flank]
+        reads = []
+        for r in range(READS_PER_EVENT):
+            if r % 2 == 0:
+                donor = genome[lbp - 1200: lbp] + genome[rbp: rbp + 1200]
+            else:
+                donor = genome[lbp - 1200: lbp + 1200]
+            reads.append([noisy(donor), 0, f"j{i}r{r}"])
+        jn_events.append((ref_seq, alt_seq, reads))
+    modes["junction_w10"] = ("within_10perc_m1b", WINDOW, jn_events)
+    # adaptive-window ladder: the same base shapes at k=20 and k=40
+    modes["m1b_k20"] = ("abs_dis_m1b", 20, base)
+    modes["m1b_k40"] = ("abs_dis_m1b", 40, base)
+    # DEL validator entry: min-of-two-scorers combined device mode
+    del_events = [e for e, i in zip(base, range(N_EVENTS)) if i % 3 == 0]
+    modes["del_combined"] = ("del", WINDOW, del_events)
+    return modes
+
+
+def bench_modes(be, repeats=3):
+    """Per-mode reads/s through the same async scoring API as the
+    headline metric.  All modes warm first (compiles + ladder), then
+    each mode times best-of-``repeats`` passes."""
+    modes = make_mode_worklists()
+
+    def one_pass(scorer, window, events):
+        if scorer == "del":
+            pend = [be.score_del_batch_async(e[0], e[1], e[2], window)
+                    for e in events]
+        else:
+            pend = [be.score_batch_async(scorer, e[0], e[1], e[2],
+                                         window) for e in events]
+        for fin in pend:
+            fin()
+
+    for scorer, window, events in modes.values():     # warm compiles
+        one_pass(scorer, window, events)
+    if hasattr(be, "warm_ladder"):
+        be.warm_ladder(max_rows=N_EVENTS * READS_PER_EVENT)
+    for scorer, window, events in modes.values():     # warm ladder hit
+        one_pass(scorer, window, events)
+    out = {}
+    for name, (scorer, window, events) in modes.items():
+        n_reads = sum(len(e[2]) for e in events)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            one_pass(scorer, window, events)
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(n_reads / best, 2)
+    return out
+
+
 def _score_event_numpy(ev):
     """Worker for the CPU-fallback process pool (module-level so it
     pickles; each worker builds its own backend once)."""
@@ -201,18 +313,28 @@ def bench_reference(events, reps=5, budget_s=150.0):
 
 
 def bench_e2e(backend="jax", n_events=int(os.environ.get(
-        "BENCH_E2E_EVENTS", "24"))):
+        "BENCH_E2E_EVENTS", "24")), match_engine_shapes=False):
     """End-to-end throughput: the full CLI flow — BED parse, BAM
     gather + CIGAR clip, window refinement, device scoring, genotyping,
     TSV rows (figures off) — overlapped across events with the
     production --pipeline path.  Returns (reads_scored/s, events/s):
     'reads scored' counts the per-read recurrence entries actually
-    emitted, so host-side NA/skip paths don't inflate the number."""
+    emitted, so host-side NA/skip paths don't inflate the number.
+
+    match_engine_shapes=True builds the fixture at the ENGINE bench's
+    event shapes (400/900/1400 bp bodies, 20 reads/event) so the e2e
+    and engine rows in the JSON describe the same work (VERDICT r4
+    #6); the default small-span fixture is kept as the historical
+    comparison point."""
     import tempfile
     from vapor_tpu.cli import main as cli_main
     from vapor_tpu.sim.scale import build_event_worklist
     tmpdir = tempfile.mkdtemp(prefix="vapor_bench_e2e_")
-    fa, bam, bed = build_event_worklist(tmpdir, n_events)
+    if match_engine_shapes:
+        fa, bam, bed = build_event_worklist(
+            tmpdir, n_events, spans=(400, 900, 1400), reads_each=10)
+    else:
+        fa, bam, bed = build_event_worklist(tmpdir, n_events)
 
     def run(tag):
         out = f"{tmpdir}/out_{tag}.vapor"
@@ -290,25 +412,38 @@ def main():
     device_ok = _ensure_live_device()
     events = make_worklist()
     pass_times = None
+    modes = None
     if device_ok:
-        ours, _, pass_times = bench_ours(events, backend="jax")
+        ours, be, pass_times = bench_ours(events, backend="jax")
+        if os.environ.get("BENCH_MODES", "1") != "0":
+            # per-mode throughput over the real dispatch mix (INS /
+            # rdd DUP / junction / k=20,40 / combined DEL)
+            modes = bench_modes(be)
     else:
         # without an accelerator the numpy oracle outruns CPU-XLA;
         # scale it across host cores (events are independent)
         ours = bench_numpy_mp(events)
     e2e_reads, e2e_events = bench_e2e(
         backend="jax" if device_ok else "numpy")
+    e2em_reads = e2em_events = None
+    if os.environ.get("BENCH_E2E_MATCHED", "1") != "0":
+        # e2e on the engine bench's own event shapes: the two headline
+        # rows then describe the same work
+        e2em_reads, e2em_events = bench_e2e(
+            backend="jax" if device_ok else "numpy",
+            match_engine_shapes=True)
     if os.path.exists(REFERENCE_PYX):
         base_measured = bench_reference(events)
         base = PINNED_BASELINE_READS_PER_S
     else:
         base_measured = None
         base = PINNED_BASELINE_READS_PER_S
-    # host/device split estimate: the engine metric is device-bound,
-    # so per-read host cost ~ 1/e2e - 1/engine (pipeline overlap makes
-    # this a lower bound on achievable e2e)
-    host_ms = max(0.0, 1000.0 * (1.0 / e2e_reads - 1.0 / ours)) \
-        if e2e_reads > 0 else None
+    # host/device split estimate: per-read host cost ~ 1/e2e - 1/engine
+    # computed from the MATCHED fixture (same event shapes as the
+    # engine metric) when available, else the small-span one
+    em = e2em_reads if e2em_reads else e2e_reads
+    host_ms = max(0.0, 1000.0 * (1.0 / em - 1.0 / ours)) \
+        if em and em > 0 else None
     print(json.dumps({
         "metric": "reads_scored_per_sec_per_chip",
         "value": round(ours, 2),
@@ -316,6 +451,11 @@ def main():
         "vs_baseline": round(ours / base, 2),
         "e2e_reads_per_sec": round(e2e_reads, 2),
         "e2e_events_per_sec": round(e2e_events, 2),
+        "e2e_matched_reads_per_sec": None if e2em_reads is None
+        else round(e2em_reads, 2),
+        "e2e_matched_events_per_sec": None if e2em_events is None
+        else round(e2em_events, 2),
+        "mode_reads_per_sec": modes,
         "host_ms_per_read_est": None if host_ms is None
         else round(host_ms, 3),
         "baseline_pinned_reads_per_sec": base,

@@ -233,21 +233,23 @@ def parse_reference_tsv(vapor_tsv, vcf_path):
         pts.update(int(x) for x in re.findall(r"\d{3,}", c[7]))
         for p in pts:
             anchors.setdefault(c[0], []).append((p, c[2]))
+    key_re = re.compile(
+        "(" + "|".join(sorted(map(re.escape, anchors),
+                              key=len, reverse=True)) + r")[:_](\d+)")
     out = {}
     for line in open(vapor_tsv):
         if line.startswith("#") or not line.strip():
             continue
         cols = line.rstrip("\n").split("\t")
         # key formats vary by class: 'chr:start:end:TYPE',
-        # 'chr:start:end:ins_chr:ins_point', or
-        # 'ref_hap:alt_hap:chr:bp1:..:CANNOT_CLASSIFY' — locate the
-        # first contig name and take the numeric field after it
-        key = cols[0].split(":")
-        ci = next((i for i, p in enumerate(key) if p in anchors), None)
-        if ci is None or ci + 1 >= len(key) or \
-                not key[ci + 1].isdigit():
+        # 'chr:start:end:ins_chr:ins_point',
+        # 'ref_hap:alt_hap:chr:bp1:..:CANNOT_CLASSIFY', or the
+        # underscore-packed DEL_INV form 'chr_s_e_del:chr_s_e_inv:..'
+        # — locate the first contig name followed by a coordinate
+        m = key_re.search(cols[0])
+        if not m:
             continue
-        chrom, start = key[ci], int(key[ci + 1])
+        chrom, start = m.group(1), int(m.group(2))
         cands = anchors.get(chrom)
         dist, (_, svid) = min((abs(p - start), (p, sid))
                               for p, sid in cands)

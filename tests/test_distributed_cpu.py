@@ -70,9 +70,15 @@ def test_two_process_output_matches_single(tmp_path):
     assert merged == single
     assert os.path.exists(out2 + ".shard0")
     assert os.path.exists(out2 + ".shard1")
-    # contig-granular sharding: shard files cover disjoint contigs
-    c0 = {l.split("\t")[0] for l in open(out2 + ".shard0")
-          if not l.startswith("#") and l.strip()}
-    c1 = {l.split("\t")[0] for l in open(out2 + ".shard1")
-          if not l.startswith("#") and l.strip()}
-    assert c0 and c1 and not (c0 & c1)
+    # block-granular sharding (balanced_owner): both shards carry
+    # work, shard rows are disjoint, and each shard's rows within a
+    # contig form contiguous position blocks (a contig may split when
+    # contig granularity would imbalance the hosts)
+    def rows_of(path):
+        return [l.split("\t") for l in open(path)
+                if not l.startswith("#") and l.strip()]
+    r0, r1 = rows_of(out2 + ".shard0"), rows_of(out2 + ".shard1")
+    assert r0 and r1
+    keys0 = {tuple(r[:3]) for r in r0}
+    keys1 = {tuple(r[:3]) for r in r1}
+    assert not (keys0 & keys1)

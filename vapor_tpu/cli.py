@@ -295,8 +295,8 @@ def run_vcf(args, ctx: ValidatorContext, num_reads_cff: int) -> None:
     dist_mode = bool(dist) or getattr(args, "shard_by_contig", False)
     owner = None
     if dist_mode and args.num_shards > 1:
-        from .parallel.multihost import contig_owner
-        owner = contig_owner(
+        from .parallel.multihost import balanced_owner
+        owner = balanced_owner(
             [y for t in vcf_list for y in vcf_list[t] if "NA" not in y],
             args.num_shards)
     tasks = []

@@ -87,25 +87,193 @@ def contig_owner(events: Sequence, num_processes: int,
     return owner
 
 
+def _event_ints(e) -> List[int]:
+    """Every integer-valued field of a (possibly nested) worklist
+    entry — coordinates arrive as ints or numeric strings depending on
+    the parser."""
+    out: List[int] = []
+
+    def rec(x):
+        if isinstance(x, (list, tuple)):
+            for v in x:
+                rec(v)
+        elif isinstance(x, bool):
+            pass
+        elif isinstance(x, int):
+            out.append(x)
+        elif isinstance(x, str) and x.isdigit():
+            out.append(int(x))
+
+    rec(e)
+    return out
+
+
+def event_pos(e) -> int:
+    """Leftmost coordinate of a worklist entry (block-assignment key)."""
+    ns = _event_ints(e)
+    return min(ns) if ns else 0
+
+
+def event_cost(e) -> float:
+    """Rough device-cost estimate for load balancing.  Per-read engine
+    work scales with the haplotype bucket (H x R cells at ~constant
+    read length R), so cost ~ hap length = span + 2*flank
+    (flank_length_calculate semantics, pyx:794); events above the
+    10 kb whole-event cap run fixed-shape 2x500 junction dotplots
+    (pyx:1729).  The constant covers per-event host work (parse,
+    window refinement dispatch, genotyping)."""
+    ns = _event_ints(e)
+    span = (max(ns) - min(ns)) if len(ns) >= 2 else 300
+    if span >= 10000:
+        return 2000.0 + 400.0
+    return float(span + 2 * min(span, 500)) + 400.0
+
+
+class EventOwner:
+    """Deterministic (contig, position-block) -> host assignment.
+
+    Blocks are contiguous genomic ranges, so per-host BAM reads stay
+    disjoint region sets even when a contig is split across hosts
+    (BAI random access makes region-level locality the unit that
+    matters; whole-contig locality was only a WDL-container concern).
+    """
+
+    def __init__(self, blocks: Dict[str, Tuple[List[int], List[int]]]):
+        # contig -> (block start positions b_1..b_{k-1}, hosts[0..k-1])
+        self._blocks = blocks
+        self._warned: set = set()
+
+    def host_of(self, e, contig_of=contig_of_event) -> int:
+        import bisect
+        c = contig_of(e)
+        ent = self._blocks.get(c)
+        if ent is None:
+            # only entries excluded from the assignment list (e.g.
+            # 'NA' rows) can be unmapped; route to host 0 but say so
+            # (ADVICE r4: never silently skew a stale map)
+            if c not in self._warned:
+                self._warned.add(c)
+                import warnings
+                warnings.warn(
+                    f"contig {c!r} missing from the shard assignment; "
+                    "routing its events to shard 0")
+            return 0
+        starts, hosts = ent
+        return hosts[bisect.bisect_right(starts, event_pos(e))]
+
+
+def balanced_owner(events: Sequence, num_processes: int,
+                   contig_of=contig_of_event,
+                   imbalance_tol: float = 1.05) -> Optional[EventOwner]:
+    """Cost-weighted LPT assignment with contig splitting.
+
+    First tries contig granularity (greedy by estimated cost).  If the
+    predicted max load exceeds ``imbalance_tol`` x ideal — the 8-host
+    knee in SCALING_r3 was exactly this: equal event counts, unequal
+    costs, one contig per host with nothing movable — contigs costing
+    more than half the ideal host load are split into contiguous
+    position blocks of at most that size and the blocks are repacked.
+    Returns None when there are fewer blocks than hosts even after
+    splitting (callers round-robin by event)."""
+    if num_processes <= 1:
+        return None
+    groups: Dict[str, List[Tuple[int, float]]] = {}
+    order: List[str] = []
+    for e in events:
+        c = contig_of(e)
+        if c not in groups:
+            groups[c] = []
+            order.append(c)
+        groups[c].append((event_pos(e), event_cost(e)))
+    total = sum(c for g in groups.values() for _, c in g)
+    if total <= 0 or not groups:
+        return None
+    ideal = total / num_processes
+    cap = ideal / 2.0
+
+    def make_blocks(split: bool):
+        """[(cost, order_i, block_i, contig, start_bound)]; bounds are
+        the first position of each non-initial block."""
+        blocks = []
+        bounds: Dict[str, List[int]] = {}
+        for oi, c in enumerate(order):
+            g = sorted(groups[c])
+            csum = sum(cost for _, cost in g)
+            bounds[c] = []
+            if not split or csum <= cap or len(g) <= 1:
+                blocks.append((csum, oi, 0, c))
+                continue
+            run_cost, prev_pos, bi = 0.0, None, 0
+            for pos, cost in g:
+                # never cut between equal positions: the bisect lookup
+                # must map every event of one position to one block
+                if run_cost > 0 and run_cost + cost > cap \
+                        and pos != prev_pos:
+                    blocks.append((run_cost, oi, bi, c))
+                    bounds[c].append(pos)
+                    bi += 1
+                    run_cost = 0.0
+                run_cost += cost
+                prev_pos = pos
+            blocks.append((run_cost, oi, bi, c))
+        return blocks, bounds
+
+    def pack(blocks):
+        load = [0.0] * num_processes
+        host_of = {}
+        for cost, oi, bi, c in sorted(
+                blocks, key=lambda b: (-b[0], b[1], b[2])):
+            h = min(range(num_processes), key=lambda i: (load[i], i))
+            host_of[(c, bi)] = h
+            load[h] += cost
+        return host_of, max(load)
+
+    blocks, bounds = make_blocks(split=False)
+    if len(blocks) >= num_processes:
+        host_of, max_load = pack(blocks)
+        if max_load <= imbalance_tol * ideal:
+            return EventOwner({c: ([], [host_of[(c, 0)]])
+                               for c in order})
+    blocks, bounds = make_blocks(split=True)
+    if len(blocks) < num_processes:
+        return None
+    host_of, _ = pack(blocks)
+    table: Dict[str, Tuple[List[int], List[int]]] = {}
+    for c in order:
+        k = 1 + len(bounds[c])
+        table[c] = (bounds[c], [host_of[(c, bi)] for bi in range(k)])
+    return EventOwner(table)
+
+
 def shard_worklist(events: Sequence, process_id: int, num_processes: int,
                    contig_of=contig_of_event,
-                   owner: Optional[Dict[str, int]] = None) -> List:
+                   owner=None) -> List:
     """Deterministic worklist shard for this host.
 
-    Contig-granular when there are at least as many contigs as hosts
-    (keeps per-host BAM regions disjoint — the WDL per-contig scatter,
-    internalized), with contigs packed greedily by event count so few
-    large contigs don't pile onto one host; event round-robin
-    otherwise.  Pass ``owner`` (from contig_owner over the FULL
-    worklist) to share one assignment across several per-type calls.
+    Default assignment is cost-weighted contiguous-block packing
+    (balanced_owner): contig-granular when that balances, contiguous
+    sub-contig blocks when one contig would dominate a host, event
+    round-robin when there is too little structure to split.  Pass
+    ``owner`` (from balanced_owner over the FULL worklist) to share
+    one assignment across several per-type calls; a plain
+    {contig: host} dict is also accepted (legacy contig_owner maps).
     """
     if num_processes <= 1:
         return list(events)
     if owner is None:
-        owner = contig_owner(events, num_processes, contig_of)
-    if owner is not None:
+        owner = balanced_owner(events, num_processes, contig_of)
+    if isinstance(owner, dict):
+        import warnings
+        missing = {contig_of(e) for e in events} - set(owner)
+        if missing:
+            warnings.warn(
+                f"contigs {sorted(missing)} missing from the provided "
+                "shard map; routing their events to shard 0")
         return [e for e in events
                 if owner.get(contig_of(e), 0) == process_id]
+    if owner is not None:
+        return [e for e in events
+                if owner.host_of(e, contig_of) == process_id]
     return [e for i, e in enumerate(events)
             if i % num_processes == process_id]
 

@@ -21,11 +21,15 @@ READ_LEN = 2400
 
 def build_event_worklist(tmpdir: str, n_events: int,
                          spacing: int = 15000, span: int = 300,
-                         read_len: int = 2600, seed: int = 9):
+                         read_len: int = 2600, seed: int = 9,
+                         spans=None, reads_each: int = 8):
     """Single-contig worklist of evenly spaced DEL/INV/DUP events with
     het donor/reference spanning reads — the e2e throughput fixture
-    (bench.py and scripts/e2e_pipeline_bench.py).  Returns
-    (fasta, bam, bed)."""
+    (bench.py and scripts/e2e_pipeline_bench.py).  ``spans`` cycles
+    per-event spans (e.g. the engine bench's 400/900/1400 bodies so
+    the e2e and engine metrics describe the same work, VERDICT r4 #6);
+    ``reads_each`` is the donor and reference read count per event.
+    Returns (fasta, bam, bed)."""
     from .synth import apply_sv, random_genome, simulate_reads
     rng = random.Random(seed)
     contig = "chrE"
@@ -37,13 +41,13 @@ def build_event_worklist(tmpdir: str, n_events: int,
     for i in range(n_events):
         svtype = ("DEL", "INV", "DUP")[i % 3]
         s0 = spacing * (i + 1)
-        e0 = s0 + span
+        e0 = s0 + (spans[i % len(spans)] if spans else span)
         hap = apply_sv(ref, svtype, s0, e0)
         window = (max(0, s0 - 2200), s0 - 600)
-        reads += simulate_reads(ref, hap, 8, read_len, rng, 0.06,
-                                region=window, from_donor=True)
-        reads += simulate_reads(ref, ref, 8, read_len, rng, 0.06,
-                                region=window, from_donor=False)
+        reads += simulate_reads(ref, hap, reads_each, read_len, rng,
+                                0.06, region=window, from_donor=True)
+        reads += simulate_reads(ref, ref, reads_each, read_len, rng,
+                                0.06, region=window, from_donor=False)
         bed_lines.append(f"{contig}\t{s0}\t{e0}\tSV{i}\t{svtype}")
     reads.sort(key=lambda r: r[0])
     records = [
