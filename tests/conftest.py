@@ -20,13 +20,18 @@ if "host_platform_device_count" not in flags:
 # three crashes in test_pallas_fused).  Raise the limit when the
 # container permits (best-effort no-op otherwise); the shared
 # persistent XLA cache keeps warm runs well under the default limit.
-try:
-    with open("/proc/sys/vm/max_map_count", "r+") as _f:
-        if int(_f.read()) < 262144:
-            _f.seek(0)
-            _f.write("262144")
-except Exception:
-    pass
+if os.environ.get("VAPOR_TPU_NO_SYSCTL", "") != "1":
+    try:
+        with open("/proc/sys/vm/max_map_count", "r+") as _f:
+            if int(_f.read()) < 262144:
+                _f.seek(0)
+                _f.write("262144")
+                sys.stderr.write(
+                    "conftest: raised vm.max_map_count to 262144 for "
+                    "LLVM-JIT mmaps (set VAPOR_TPU_NO_SYSCTL=1 to "
+                    "disable)\n")
+    except Exception:
+        pass
 
 # the axon sitecustomize hard-sets jax_platforms="axon,cpu" before user
 # code runs; force it back so unit tests stay on the virtual-CPU mesh

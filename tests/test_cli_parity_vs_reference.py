@@ -1,95 +1,37 @@
 """End-to-end `.vapor` parity: vapor-tpu CLI vs the reference CLI.
 
 The reference needs only ``samtools faidx`` / ``samtools view`` from the
-outside world, so we give it a shim backed by vapor_tpu's own readers,
-assemble an importable ``vapor_vali`` package from the reference checkout
-in a temp dir, run both CLIs on the same synthetic fixture, and require
-byte-identical `.vapor` output.
+outside world; the shim + importable ``vapor_vali`` package assembly
+lives in scripts/refcli.py (single source of truth, shared with
+``accuracy_corpus.py --head-to-head``).  Both CLIs run on the same
+synthetic fixture and must produce byte-identical `.vapor` output.
 """
 import os
-import shutil
-import subprocess
+import pathlib
 import sys
 
 import pytest
 
-from conftest import REFERENCE_DIR, has_reference
+from conftest import has_reference
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "scripts"))
+import refcli  # noqa: E402
 
 pytestmark = [pytest.mark.refcli,
               pytest.mark.skipif(not has_reference(),
                                 reason="reference checkout not mounted")]
 
-SHIM = r'''#!/usr/bin/env python
-import sys
-sys.path.insert(0, "%(repo)s")
-from vapor_tpu.io.fasta import FastaFile
-from vapor_tpu.io.bam import BamReader
-
-def parse_region(region):
-    chrom, rng = region.rsplit(":", 1)
-    s, e = rng.split("-")
-    return chrom, int(s), int(e)
-
-cmd = sys.argv[1]
-if cmd == "faidx":
-    path, region = sys.argv[2], sys.argv[3]
-    chrom, s, e = parse_region(region)
-    seq = FastaFile(path).fetch(chrom, s, e)
-    print(">" + region)
-    for i in range(0, len(seq), 60):
-        print(seq[i:i + 60])
-elif cmd == "view":
-    path, region = sys.argv[2], sys.argv[3]
-    chrom, s, e = parse_region(region)
-    for rec in BamReader(path).fetch(chrom, s, e):
-        print("\t".join([rec.name, str(rec.flag), chrom,
-                         str(rec.pos0 + 1), str(rec.mapq), rec.cigar,
-                         "*", "0", "0", rec.seq, "*"]))
-'''
-
 
 @pytest.fixture(scope="module")
 def harness(tmp_path_factory):
     root = tmp_path_factory.mktemp("refcli")
-    # samtools shim
-    bindir = root / "bin"
-    bindir.mkdir()
-    shim = bindir / "samtools"
-    shim.write_text(SHIM % {"repo": os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))})
-    shim.chmod(0o755)
-    # importable reference package (Simple_function.pyx is plain Python)
-    pkg = root / "vapor_vali"
-    pkg.mkdir()
-    (pkg / "__init__.py").write_text("")
-    # scipy removed scipy.std; the reference still calls it (into an
-    # unused variable) — shim it so the reference can run at all.
-    src = open(f"{REFERENCE_DIR}/vapor_vali/Simple_function.pyx").read()
-    shim_lines = ("import scipy as _scipy_shim\nimport numpy as _np_shim\n"
-                  "_scipy_shim.std = _np_shim.std\n")
-    lines = src.split("\n")
-    insert_at = 1 if lines and lines[0].startswith("from __future__") else 0
-    (pkg / "Simple_function.py").write_text(
-        "\n".join(lines[:insert_at]) + "\n" + shim_lines +
-        "\n".join(lines[insert_at:]))
-    shutil.copy(f"{REFERENCE_DIR}/vapor_vali/prep.pyx", pkg / "prep.py")
-    vapor_script = root / "vapor"
-    shutil.copy(f"{REFERENCE_DIR}/vapor_vali/vapor", vapor_script)
-    return root
+    return pathlib.Path(refcli.build_harness(str(root)))
 
 
 def _run_reference(harness, mode, sv_input, ref_fa, bam, out_file):
-    env = dict(os.environ)
-    env["PATH"] = f"{harness}/bin:" + env["PATH"]
-    env["PYTHONPATH"] = str(harness)
-    env.pop("JAX_PLATFORMS", None)
-    cmd = [sys.executable, str(harness / "vapor"), mode,
-           "--sv-input", sv_input, "--reference", ref_fa,
-           "--pacbio-input", bam, "--output-path",
-           str(harness / f"figs_ref_{mode}"),
-           "--output-file", out_file]
-    subprocess.run(cmd, env=env, check=True, capture_output=True,
-                   timeout=900)
+    refcli.run_reference(str(harness), mode, sv_input, ref_fa, bam,
+                         out_file, timeout=900)
 
 
 def _run_ours(mode, sv_input, ref_fa, bam, out_path, out_file):

@@ -32,6 +32,15 @@ from .window import qual_check_repetitive_region, self_dot_arrays
 
 _RC_PAD = 251           # distinct from HAP_PAD so pads never self-match
 
+# Running tally of how often refinement leaves the pure-device path:
+# the (0.1, 0.5) below-diagonal band triggers a per-event host stall
+# (exact numpy dots + seeded X-means) the pipeline cannot hide, so its
+# frequency on realistic inputs decides whether that leg needs
+# batching (VERDICT r4 weak #6; measured by
+# scripts/measure_refiner_band.py -> REFINER_BAND_r5.json).
+BAND_STATS = {"refine_calls": 0, "stat_rounds": 0, "band_hits": 0,
+              "unbucketable_host_refines": 0}
+
 
 def _self_stats_one(hap, rc, length, k_idx, H: int):
     W = hist_width(H, H)
@@ -166,10 +175,13 @@ class DeviceWindowRefiner:
         seq = seq.replace("X", "")
         if seq.count("N") + seq.count("n") > 100:
             return None
+        BAND_STATS["refine_calls"] += 1
         window = 10
         fin = self._stats_async(seq, window)
         if fin is None:
+            BAND_STATS["unbucketable_host_refines"] += 1
             return _host_refine(seq, self.region_qc_cff, self.seed)
+        BAND_STATS["stat_rounds"] += 1
         total, diag, below = yield fin
         if total == 0:
             return None
@@ -184,12 +196,14 @@ class DeviceWindowRefiner:
                 # size_cluster is [0] -> mass test fails -> break
                 break
             # rare repeat-heavy case: exact host QC for the mass test
+            BAND_STATS["band_hits"] += 1
             ii, jj, ww = self_dot_arrays(window, seq)
             qc = qual_check_repetitive_region(ii, jj, ww, self.seed)
             if qc[0] > self.region_qc_cff or \
                     sum(qc[1]) / len(seq) < 0.3:
                 break
             window += 10
+            BAND_STATS["stat_rounds"] += 1
             total, diag, below = yield self._stats_async(seq, window)
             if total == 0:
                 break
