@@ -209,6 +209,59 @@ def _flip_to_dot_space(Kq: jnp.ndarray, rlen: jnp.ndarray,
     return rolled & (cols <= rlen - k)
 
 
+def _rc_dot_codes(rc: jnp.ndarray, rlen: jnp.ndarray,
+                  k: int) -> jnp.ndarray:
+    """(R,) rc row -> (lanes, R) lane codes D with D[l, j] = packed rc
+    k-mer at q = rlen - k - j, i.e. already indexed by the DOT-space
+    column j.  Comparing hap lane codes against D yields the
+    reverse-strand hit matrix directly in dot coordinates, replacing
+    _flip_to_dot_space's flip + concat + dynamic_slice over the full
+    (H, R) matrix (lane-crossing relayouts XLA lowers poorly on TPU —
+    the on-chip profile PROFILE_r5.json showed the hits stage at ~3%
+    of VPU throughput with these 2-D shuffles attached) with the same
+    1-D transform on an (R,)-length code row.
+
+    Derivation: with rev[p] = crc[R-1-p], crc[rlen-k-j] =
+    rev[(R-1+k-rlen) + j]; columns j > rlen - k (and the clamped
+    slice when rlen < k) carry garbage and are masked by the caller's
+    j <= rlen - k test, exactly like _flip_to_dot_space's column
+    mask."""
+    R = rc.shape[0]
+    crc = _pack_codes(rc, k, READ_PAD)          # (lanes, R), q-indexed
+    rev = jnp.flip(crc, axis=1)
+    ext = jnp.concatenate([rev, rev], axis=1)
+    off = (R - 1 + k) - rlen
+    return lax.dynamic_slice(ext, (jnp.int32(0), off),
+                             (crc.shape[0], R))
+
+
+def _hits_packed_rc_dot(hap: jnp.ndarray, rc: jnp.ndarray,
+                        rlen: jnp.ndarray, k_idx: jnp.ndarray,
+                        m: jnp.ndarray) -> jnp.ndarray:
+    """Reverse-strand hits directly in dot space: bit-identical to
+    _flip_to_dot_space(_hits_packed(hap, rc, ...), rlen, k) for ANY
+    rc row laid out as codes followed by READ_PAD tail (the only
+    layout both the host and device rc builders produce) — pinned by
+    tests/test_fused_vs_oracle.py / test_kernel_vs_oracle.py."""
+    H = hap.shape[0]
+    R = rc.shape[0]
+
+    def one(k):
+        def f(hap, rc, rlen):
+            ch = _pack_codes(hap, k, HAP_PAD)
+            D = _rc_dot_codes(rc, rlen, k)
+            K = ch[0][:, None] == D[0][None, :]
+            for lane in range(1, ch.shape[0]):
+                K = K & (ch[lane][:, None] == D[lane][None, :])
+            rows_ok = jax.lax.broadcasted_iota(
+                jnp.int32, (H, 1), 0) >= m
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
+            return K & rows_ok & (cols <= rlen - k)
+        return f
+    return lax.switch(k_idx, [one(10), one(20), one(30), one(40)],
+                      hap, rc, rlen)
+
+
 # hit-detection implementation selector (probes/tests flip this; the
 # jit cache keys on the function identity via HITS_IMPL's closure use)
 _HITS_IMPLS = {"packed": _hits_packed, "mxu": _hits_mxu,
@@ -553,7 +606,15 @@ def _fused_one(hap, read, rc, rlen, m, k_idx, H: int, R: int,
     # pipeline's largest HBM write.
     hits = _HITS_IMPLS[HITS_IMPL]
     Kf = hits(hap, read, k_idx, m)
-    Kr = _flip_to_dot_space(hits(hap, rc, k_idx, m), rlen, k)
+    if HITS_IMPL == "packed" and \
+            os.environ.get("VAPOR_TPU_RCDOT", "1") != "0":
+        # reverse-strand hits computed directly in dot space (the
+        # flip/roll folds into the 1-D packed code row; the (H, R)
+        # relayout is gone) — read at TRACE time, so A/B runs flip
+        # the env before first compile (scripts/ab_rcdot.py)
+        Kr = _hits_packed_rc_dot(hap, rc, rlen, k_idx, m)
+    else:
+        Kr = _flip_to_dot_space(hits(hap, rc, k_idx, m), rlen, k)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, R), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, R), 1)
