@@ -59,7 +59,7 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     from vapor_tpu.engine.fused import _fused_batch_jit
-    from vapor_tpu.engine.pallas_fused import PALLAS_BATCHES
+    from pallas_fused import PALLAS_BATCHES
     import jax
     print("devices:", jax.devices(), flush=True)
 

@@ -58,8 +58,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused import hist_width, _NIB_LUT
-from .kernel import HAP_PAD, READ_PAD
+from vapor_tpu.engine.fused import hist_width, _NIB_LUT
+from vapor_tpu.engine.kernel import HAP_PAD, READ_PAD
 
 BIAS_D = 127     # (TH-1-H) mod 128 for every bucket (TH-1 ≡ 127, H ≡ 0)
 
@@ -929,7 +929,7 @@ def _scal_block(sc):
 
 
 def _m1b_tables(h_d, h_a, rlens, H, R, k):
-    from .fused import kept_table_device
+    from vapor_tpu.engine.fused import kept_table_device
     kd = jax.vmap(lambda h: kept_table_device(h, 10, 10, False))(h_d)
     ka = jax.vmap(lambda h: kept_table_device(h, 10, 10, False))(h_a)
     return _prep_tables(kd, ka, rlens, H, R, k)
@@ -938,7 +938,7 @@ def _m1b_tables(h_d, h_a, rlens, H, R, k):
 def _w10_tables(ms, rlens, ch, cf, cq, h_d, lanes, H, R, k, interpret):
     """kd50 + leftover-anti ka50 prepared tables — the two-stage
     within-10% cleaning."""
-    from .fused import kept_table_device
+    from vapor_tpu.engine.fused import kept_table_device
     kd50 = jax.vmap(lambda h: kept_table_device(h, 10, 50, True))(h_d)
     t = _prep_tables(kd50, kd50, rlens, H, R, k)
     kd_d, _, kd_rc, _ = t
@@ -982,7 +982,7 @@ def _del_rows(haps, reads, rcs, rlens, ms, H, R, k, interpret):
 
 
 def _rdd_rows(haps, reads, rcs, rlens, ms, H, R, k, interpret):
-    from .fused import intercept_z_device
+    from vapor_tpu.engine.fused import intercept_z_device
     lanes, ch, cf, cq, rlens, ms, h_d, h_a, sc = _codes_and_hists(
         haps, reads, rcs, rlens, ms, H, R, k, interpret)
     tabs = _m1b_tables(h_d, h_a, rlens, H, R, k)
@@ -1132,7 +1132,7 @@ def measure_bucket(H: int, R: int, k: int, scorer: str,
             *args, H=H, R=R, k=k))
 
     def run_xla(args):
-        from .fused import _fused_batch_jit
+        from vapor_tpu.engine.fused import _fused_batch_jit
         return np.asarray(_fused_batch_jit(
             *args, jnp.int32(k // 10 - 1), H=H, R=R, scorer=scorer)[2])
 

@@ -10,7 +10,7 @@ import json
 
 import pytest
 
-from vapor_tpu.engine import pallas_fused as pf
+import pallas_fused as pf
 
 
 @pytest.fixture(autouse=True)

@@ -55,7 +55,7 @@ def main():
                          "(e.g. 768:768,1024:768)")
     args = ap.parse_args()
 
-    from vapor_tpu.engine import pallas_fused as pf
+    import pallas_fused as pf
     kind = pf._device_kind()
     print(f"device kind: {kind}", flush=True)
     bs = tuple(int(x) for x in args.batch_sizes.split(","))

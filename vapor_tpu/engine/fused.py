@@ -275,7 +275,7 @@ HITS_IMPL = "packed"
 # The axon relay uploads at ~25 MB/s, so host->device payload bytes are
 # first-order in the engine pass time (PERF_NOTES r4 finding 4).  Two
 # measured levers, both applied at the dispatch boundary so every
-# engine route (XLA / mesh / pallas) is untouched:
+# engine route (single-device XLA / dp mesh) is untouched:
 #
 # * haplotype rows are shipped as UNIQUE rows + a per-row int32 index
 #   and gathered on device (a flush used to upload B broadcast copies
@@ -731,74 +731,6 @@ def _chunked_rows(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
     return out.reshape(n_chunks * width, -1)
 
 
-def _maybe_pallas_rows(haps, reads, rcs, rlens, ms, k_idx, H: int,
-                       R: int, scorer: str):
-    """Route to the full-fusion Pallas engine when it applies.
-
-    Production default is the XLA engine for EVERY bucket: the r4
-    interleaved worklist-level A/B (AB_r4.json) measured all-XLA
-    faster than pallas/table-routed on every latency-matched pass
-    (~600 vs ~385 reads/s), so the r3 per-bucket table was retired —
-    choose_engine still consults the on-disk/packaged verdicts, but no
-    table ships and unknown buckets run XLA.  Off on CPU where Mosaic
-    kernels only run interpreted.  VAPOR_TPU_PALLAS=0 disables,
-    =1 forces pallas for every supported bucket (A/B runs), =force
-    enables even on CPU (interpret mode — tests).  A bucket whose
-    kernel fails at call time falls back to the XLA engine and is
-    blacklisted (pallas_fused.blacklist_bucket)."""
-    if scorer not in ("m1b", "w10", "del", "rdd"):
-        return None
-    env = os.environ.get("VAPOR_TPU_PALLAS", "auto").lower()
-    if env in ("0", "off", "no"):
-        return None
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        return None
-    interpret = platform == "cpu"
-    # never compile pallas kernels for small row batches on hardware:
-    # B=8 Mosaic compiles have HUNG the remote compile service >1h and
-    # held the chip (twice across rounds — warmup probes stick to
-    # B>=24 for the same reason), and the measured pallas wins are at
-    # B=24/96 anyway.  Small flushes run the XLA engine.
-    if not interpret and reads.shape[0] < 24:
-        return None
-    if interpret and env not in ("force", "interpret"):
-        return None
-    if not isinstance(k_idx, int):
-        # int() on a DEVICE scalar is a blocking ~20 ms relay fetch
-        # per call (measured r4: auto-mode engine 345 vs 600 reads/s
-        # with the pallas check skipped entirely) — hosts must pass
-        # the python int; anything traced/device-resident runs XLA
-        return None
-    k = 10 * (k_idx + 1)
-    from .pallas_fused import (PALLAS_BATCHES, blacklist_bucket,
-                               probe_bucket)
-    if env in ("1", "on", "always") and not interpret:
-        from .pallas_fused import _BLACKLIST
-        if (H, R, k, scorer) in _BLACKLIST:
-            return None              # call-time kernel failure only
-    elif not probe_bucket(H, R, k, scorer, interpret=interpret):
-        return None
-    try:
-        if rcs is None:
-            # the Mosaic kernels take both strands as inputs;
-            # materialize the device-derived rc rows for them
-            rcs = _derive_rc_batch(reads, rlens)
-        return PALLAS_BATCHES[scorer](haps, reads, rcs, rlens, ms,
-                                      H=H, R=R, k=k,
-                                      interpret=interpret)
-    except Exception as e:
-        if interpret:
-            raise
-        import warnings
-        warnings.warn(
-            f"pallas bucket (H={H}, R={R}, k={k}, {scorer}) failed, "
-            f"falling back to the XLA engine: {e!r:.200}")
-        blacklist_bucket(H, R, k, scorer, e)
-        return None
-
-
 def fused_batch(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
                 scorer: str, want_hists: bool = False):
     """Batched per-(read, hap) stats — the production scoring entry.
@@ -806,14 +738,16 @@ def fused_batch(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
     When more than one device is visible (a TPU slice, or the 8-virtual-
     device CPU mesh in tests) the work rows are sharded across a `dp`
     mesh (parallel.mesh.maybe_mesh_rows) — the same code path the
-    driver's dryrun_multichip exercises; single-device falls through to
-    the full-fusion Pallas engine on TPU (pallas_fused.py) or the
-    jitted XLA launch below.  Per-row math is integer-exact in every
-    variant: packed rows decode to identical integers across meshings
-    and engines (tests/test_pallas_fused.py, test_mesh_parity.py) —
-    raw packed rows are bit-identical across meshings, but the Pallas
-    engine splits hi/lo columns differently from XLA, so compare
-    decoded values, not raw rows, across engines."""
+    driver's dryrun_multichip exercises; single-device falls through
+    to the jitted XLA launch below, the production engine for every
+    bucket.  Per-row math is integer-exact across meshings: packed
+    rows are bit-identical (tests/test_mesh_parity.py).  (A
+    full-fusion Mosaic engine lives in experiments/pallas_fused.py;
+    it lost the interleaved worklist-level A/B on every latency-
+    matched pass — AB_r4.json, ~600 vs ~385 reads/s — and the on-chip
+    stage profile PROFILE_r5.json shows the pass is op-granularity-
+    bound far below every roofline, so it was demoted from the hot
+    path in round 5.)"""
     if not want_hists:
         from ..parallel.mesh import maybe_mesh_rows
         packed = maybe_mesh_rows(haps, reads, rcs, rlens, ms, k_idx,
@@ -822,13 +756,9 @@ def fused_batch(haps, reads, rcs, rlens, ms, k_idx, H: int, R: int,
                                            reads.shape[0]))
         if packed is not None:
             return None, None, packed
-        packed = _maybe_pallas_rows(haps, reads, rcs, rlens, ms, k_idx,
-                                    H, R, scorer)
-        if packed is not None:
-            return None, None, packed
     # normalize here, not in callers: a python-int k_idx keeps the
-    # pallas/mesh routing above fetch-free, while the jit still sees
-    # the same strong-typed int32 scalar aval (no recompiles)
+    # mesh routing above fetch-free, while the jit still sees the
+    # same strong-typed int32 scalar aval (no recompiles)
     return _fused_batch_jit(haps, reads, rcs, rlens, ms,
                             jnp.int32(k_idx),
                             H=H, R=R, scorer=scorer,
