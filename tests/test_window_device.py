@@ -39,6 +39,34 @@ def test_device_refiner_matches_host():
         assert dev_w == host_w, f"len={len(seq)}: {dev_w} != {host_w}"
 
 
+def test_band_qc_thread_path_matches_host():
+    # tandem-array haplotypes drive the (0.1, 0.5) below-diagonal band,
+    # whose X-means QC runs on a worker thread since r5
+    # (REFINER_BAND_r5.json: ~88% hit rate on repeat-heavy inputs) —
+    # the threaded leg must stay value-identical to the host oracle
+    from vapor_tpu.engine.window_device import BAND_STATS
+    rng = random.Random(5)
+
+    def rep_hap(span, period, frac):
+        unit = _rand(rng, period)
+        n = max(2, int(span * frac / period))
+        body = "".join(
+            "".join(rng.choice("ACGT") if rng.random() < 0.05 else c
+                    for c in unit) for _ in range(n))
+        rest = span - len(body)
+        return (_rand(rng, 500 + rest // 2) + body +
+                _rand(rng, 500 + rest - rest // 2))
+
+    refiner = DeviceWindowRefiner(region_qc_cff=0.4, seed=0)
+    before = BAND_STATS["band_hits"]
+    for period, frac in ((15, 0.8), (40, 0.8), (40, 0.4)):
+        seq = rep_hap(1200, period, frac)
+        host_w, _ = window_size_refine(seq, 0.4, 0)
+        assert refiner.refine(seq) == host_w
+    assert BAND_STATS["band_hits"] > before, \
+        "fixture failed to reach the band-QC leg"
+
+
 def test_refiner_integration_with_backend(tmp_path):
     # ValidatorContext with a jax backend should route refine through
     # the device path and still produce identical CLI output

@@ -195,10 +195,18 @@ class DeviceWindowRefiner:
             if not (0.1 < frac_below < 0.5):
                 # size_cluster is [0] -> mass test fails -> break
                 break
-            # rare repeat-heavy case: exact host QC for the mass test
+            # repeat-heavy case: exact host QC for the mass test.
+            # Measured (REFINER_BAND_r5.json): never hit on the
+            # random-sequence accuracy corpus, but ~88% of
+            # tandem-array haplotypes hit it at ~0.9 s of host numpy +
+            # X-means each — so it runs on a worker thread and the
+            # pipeline driver resolves the yielded finisher like any
+            # device fetch: other in-flight events keep dispatching
+            # while the QC computes (numerics untouched — the X-means
+            # is seeded and the result is consumed synchronously).
             BAND_STATS["band_hits"] += 1
-            ii, jj, ww = self_dot_arrays(window, seq)
-            qc = qual_check_repetitive_region(ii, jj, ww, self.seed)
+            qc = yield _qc_pool().submit(
+                _band_qc, window, seq, self.seed).result
             if qc[0] > self.region_qc_cff or \
                     sum(qc[1]) / len(seq) < 0.3:
                 break
@@ -214,3 +222,22 @@ def _host_refine(seq, cff, seed):
     from .window import window_size_refine
     w, _ = window_size_refine(seq, cff, seed)
     return w
+
+
+_QC_POOL = None
+
+
+def _qc_pool():
+    """Worker pool for the band-QC host leg (2 workers: two in-flight
+    band events overlap on the 2-core host; more would just contend)."""
+    global _QC_POOL
+    if _QC_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _QC_POOL = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="vapor-band-qc")
+    return _QC_POOL
+
+
+def _band_qc(window, seq, seed):
+    ii, jj, ww = self_dot_arrays(window, seq)
+    return qual_check_repetitive_region(ii, jj, ww, seed)
