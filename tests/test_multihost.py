@@ -96,15 +96,20 @@ def test_balanced_owner_cost_variance_across_equal_counts():
 
 
 def test_balanced_owner_keeps_contig_granularity_when_balanced():
+    # granularity is kept when each host can hold >= 2 whole contigs
+    # (enough units to absorb cost-estimation error); at ~1
+    # contig/host balanced_owner deliberately splits so per-contig
+    # content noise averages across hosts (SCALING_r5)
     from vapor_tpu.parallel.multihost import balanced_owner
     events = [(f"chr{c}", 100 * i, 100 * i + 50)
-              for c in (1, 2) for i in range(5)]
+              for c in (1, 2, 3, 4) for i in range(5)]
     owner = balanced_owner(events, 2)
     shards = [shard_worklist(events, p, 2, owner=owner)
               for p in range(2)]
     c0 = {e[0] for e in shards[0]}
     c1 = {e[0] for e in shards[1]}
     assert not (c0 & c1)
+    assert len(c0) == len(c1) == 2
 
 
 def test_shard_worklist_deterministic_partition():

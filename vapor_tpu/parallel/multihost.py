@@ -114,19 +114,50 @@ def event_pos(e) -> int:
     return min(ns) if ns else 0
 
 
+# ALT-haplotype span multiplier by SV type: the validator scores each
+# read against BOTH haplotypes, and the ALT length varies ~3x by type
+# (DEL alt = flanks only, DUP/TANDUP alt = 2x span + flanks —
+# validators.py ALT synthesis).  Ignoring this made per-contig cost
+# predictions systematically wrong on equal-count worklists, which is
+# exactly the case where LPT has nothing to move (SCALING_r5 run 1-2:
+# the same shard heavy in both runs).
+_ALT_SPAN_W = {"DEL": 0.0, "INS": 0.3, "INV": 1.0, "DUP": 2.0,
+               "TANDUP": 2.0, "DISDUP": 2.0, "DUP_INV": 2.0,
+               "DEL_INV": 1.0, "CNV": 1.0}
+
+
+def _event_svtype(e) -> Optional[str]:
+    """First recognizable SV-type token in a (possibly nested) entry."""
+    out: List[str] = []
+
+    def rec(x):
+        if isinstance(x, (list, tuple)):
+            for v in x:
+                rec(v)
+        elif isinstance(x, str) and x.upper() in _ALT_SPAN_W:
+            out.append(x.upper())
+
+    rec(e)
+    return out[0] if out else None
+
+
 def event_cost(e) -> float:
     """Rough device-cost estimate for load balancing.  Per-read engine
     work scales with the haplotype bucket (H x R cells at ~constant
-    read length R), so cost ~ hap length = span + 2*flank
-    (flank_length_calculate semantics, pyx:794); events above the
-    10 kb whole-event cap run fixed-shape 2x500 junction dotplots
-    (pyx:1729).  The constant covers per-event host work (parse,
-    window refinement dispatch, genotyping)."""
+    read length R), so cost ~ ref hap length + alt hap length, where
+    ref ~ span + 2*flank (flank_length_calculate semantics, pyx:794)
+    and alt ~ w*span + 2*flank with a per-type multiplier w
+    (_ALT_SPAN_W); events above the 10 kb whole-event cap run
+    fixed-shape 2x500 junction dotplots (pyx:1729).  The constant
+    covers per-event host work (parse, window refinement dispatch,
+    genotyping)."""
     ns = _event_ints(e)
     span = (max(ns) - min(ns)) if len(ns) >= 2 else 300
     if span >= 10000:
         return 2000.0 + 400.0
-    return float(span + 2 * min(span, 500)) + 400.0
+    f = min(span, 500)
+    w = _ALT_SPAN_W.get(_event_svtype(e) or "", 1.0)
+    return float((span + 2 * f) + (w * span + 2 * f)) + 400.0
 
 
 class EventOwner:
@@ -189,7 +220,11 @@ def balanced_owner(events: Sequence, num_processes: int,
     if total <= 0 or not groups:
         return None
     ideal = total / num_processes
-    cap = ideal / 2.0
+    # block granularity: a third of the ideal host load.  ideal/2 left
+    # LPT packing ~17% over ideal on chunky mixes (a host ends up one
+    # near-cap block heavy); finer than ~ideal/3 fragments regions for
+    # no packing gain
+    cap = ideal / 3.0
 
     def make_blocks(split: bool):
         """[(cost, order_i, block_i, contig, start_bound)]; bounds are
@@ -229,6 +264,12 @@ def balanced_owner(events: Sequence, num_processes: int,
         return host_of, max(load)
 
     blocks, bounds = make_blocks(split=False)
+    # keep contig granularity whenever the prediction balances: an
+    # experiment that force-split at ~1 contig/host to average
+    # content-dependent cost noise made the 8-host curve WORSE (0.72
+    # vs 0.87 — LPT by estimated cost concentrates the estimation
+    # error it cannot see), so splitting stays reserved for predicted
+    # imbalance
     if len(blocks) >= num_processes:
         host_of, max_load = pack(blocks)
         if max_load <= imbalance_tol * ideal:
