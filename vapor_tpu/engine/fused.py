@@ -38,7 +38,14 @@ from jax import lax
 from . import oracle
 from .kernel import (HAP_PAD, READ_PAD, bucket_for, _split_sum)
 
-RADIX = 8
+def _pyramid_radix() -> int:
+    """Merge radix for the skew/unskew pyramids, read at TRACE time
+    (A/B legs must be separate processes, like VAPOR_TPU_RCDOT).
+    Higher radix = fewer sequential rounds (log_g instead of log_2) at
+    the cost of a g-way pad+add per round; on v5e the pass is
+    op-granularity-bound (PROFILE_r5.json), so fewer rounds win."""
+    r = int(os.environ.get("VAPOR_TPU_RADIX", "2"))
+    return r if r in (2, 4, 8) else 2
 
 
 def _round_up(x: int, m: int) -> int:
@@ -385,25 +392,28 @@ def skew_reduce(K: jnp.ndarray, W: int, sign: int, col_offset: int,
     """
     H, R = K.shape
     X = K if K.dtype == jnp.int8 else K.astype(jnp.int8)
+    radix = _pyramid_radix()
     p = 0
     merged = 1
     while X.shape[0] > 1:
         rows = X.shape[0]
-        if rows % 2:
-            X = jnp.pad(X, ((0, 1), (0, 0)))
-        n2 = X.shape[0] // 2
-        A, B = X[:n2], X[n2:]
-        merged *= 2
+        g = min(radix, 1 << (rows - 1).bit_length())
+        if rows % g:
+            X = jnp.pad(X, ((0, g - rows % g), (0, 0)))
+        n2 = X.shape[0] // g
+        merged *= g
         dt = _merge_dtype(merged, per_cell)
-        A = A.astype(dt)
-        B = B.astype(dt)
+        parts = [X[t * n2:(t + 1) * n2].astype(dt) for t in range(g)]
         if sign > 0:
-            # bottom half (larger a) shifts right by n2
-            X = jnp.pad(A, ((0, 0), (0, n2))) + jnp.pad(B, ((0, 0), (n2, 0)))
+            # block t (rows a = r + t*n2 mod old n) shifts right t*n2
+            X = sum(jnp.pad(parts[t], ((0, 0), (t * n2, (g - 1 - t) * n2)))
+                    for t in range(g))
         else:
-            # top half shifts right by n2: c = j - (a - r) + p grows
-            X = jnp.pad(A, ((0, 0), (n2, 0))) + jnp.pad(B, ((0, 0), (0, n2)))
-            p += n2
+            # top blocks shift right most: c = j - (a - r) + p grows
+            X = sum(jnp.pad(parts[t],
+                            ((0, 0), ((g - 1 - t) * n2, t * n2)))
+                    for t in range(g))
+            p += (g - 1) * n2
     row = X[0].astype(jnp.int32)
     out = jnp.zeros((W,), jnp.int32)
     if sign > 0:
@@ -436,17 +446,20 @@ def unskew_broadcast(table: jnp.ndarray, H: int, sign: int,
         # Y[t, c] = table[off - (t+1)s + 1 + c]
         Y = tp[None, S + col_offset - S + 1:
                S + col_offset - S + 1 + R + S - 1]
+    radix = _pyramid_radix()
     s = S
     while s > 1:
-        sp = s // 2
+        g = min(radix, s)
+        sp = s // g
         Wn = R + sp - 1
+        # child t covers i in [i0 + t*sp, i0 + (t+1)*sp): its slice
+        # starts at t*sp (sign>0) / (g-1-t)*sp (sign<0) of the parent
         if sign > 0:
-            c0 = Y[:, :Wn]
-            c1 = Y[:, sp: sp + Wn]
+            cs = [Y[:, t * sp: t * sp + Wn] for t in range(g)]
         else:
-            c0 = Y[:, sp: sp + Wn]
-            c1 = Y[:, :Wn]
-        Y = jnp.stack([c0, c1], axis=1).reshape(-1, Wn)
+            cs = [Y[:, (g - 1 - t) * sp: (g - 1 - t) * sp + Wn]
+                  for t in range(g)]
+        Y = jnp.stack(cs, axis=1).reshape(-1, Wn)
         s = sp
     return Y[:H]
 
